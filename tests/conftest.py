@@ -1,0 +1,19 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip behavior is tested the TPU way without a pod: host-platform
+device virtualization (SURVEY.md §4 consequence / §5.8). This must run
+before the first `import jax` anywhere in the test session.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
