@@ -1,0 +1,273 @@
+"""Vectorized Jacobian-coordinate group ops for G1 (Fq) and G2 (Fq2).
+
+TPU-native replacement for ffiasm's curve.cpp Jacobian add/double/mixed
+routines (SURVEY.md §2.12). Everything is branch-free: the general `add`
+computes both the chord and tangent paths and selects per lane, so it is
+a valid combiner for `associative_scan`-style reductions over arbitrary
+point batches (including repeated points, inverses, and infinities).
+
+Points are (X, Y, Z) tuples of field elements; infinity is Z == 0.
+Coordinates stay in the Montgomery domain end-to-end — zkey points arrive
+Montgomery-encoded (SURVEY.md §3.1) and only final results leave the
+device for host-side affine normalization.
+
+Curve: y^2 = x^3 + 3 over Fq; twist y^2 = x^3 + 3/(9+i) over Fq2. The
+formulas below never use the curve constant, so one implementation
+serves both groups.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from . import field as FF
+from .field import FieldOps, FQ
+
+
+class Fq2Ops:
+    """Fq2 = Fq[i]/(i^2+1) with the FieldOps interface.
+
+    Elements are (c0, c1) tuples of limb lists.
+    """
+
+    def __init__(self, base: FieldOps):
+        self.f = base
+
+    def zero(self, shape=()):
+        return (self.f.zero(shape), self.f.zero(shape))
+
+    def one_mont(self, shape=()):
+        return (self.f.one_mont(shape), self.f.zero(shape))
+
+    def add(self, a, b):
+        return (self.f.add(a[0], b[0]), self.f.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.f.sub(a[0], b[0]), self.f.sub(a[1], b[1]))
+
+    def neg(self, a):
+        return (self.f.neg(a[0]), self.f.neg(a[1]))
+
+    def double(self, a):
+        return (self.f.double(a[0]), self.f.double(a[1]))
+
+    def mul(self, a, b):
+        return self.mul_many([(a, b)])[0]
+
+    def mul_many(self, pairs):
+        """k Fq2 products as ONE base-field mul instantiation (3k lanes).
+
+        Karatsuba: m0 = a0 b0, m1 = a1 b1, t = (a0+a1)(b0+b1);
+        re = m0 - m1, im = t - m0 - m1. Interior sums are lazily reduced
+        (< 2p) which `FieldOps.mul` accepts.
+        """
+        f = self.f
+        base_pairs = []
+        for (a, b) in pairs:
+            base_pairs.append((a[0], b[0]))
+            base_pairs.append((a[1], b[1]))
+            base_pairs.append((f.add_lazy(a[0], a[1]), f.add_lazy(b[0], b[1])))
+        outs = f.mul_many(base_pairs)
+        res = []
+        for k in range(len(pairs)):
+            m0, m1, t = outs[3 * k:3 * k + 3]
+            res.append((f.sub(m0, m1), f.sub(f.sub(t, m0), m1)))
+        return res
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def select(self, mask, a, b):
+        return (self.f.select(mask, a[0], b[0]),
+                self.f.select(mask, a[1], b[1]))
+
+    def is_zero(self, a):
+        return self.f.is_zero(a[0]) & self.f.is_zero(a[1])
+
+    def eq(self, a, b):
+        return self.f.eq(a[0], b[0]) & self.f.eq(a[1], b[1])
+
+
+FQ2 = Fq2Ops(FQ)
+
+Point = Tuple  # (x, y, z) of field elements
+
+
+class CurveOps:
+    """Jacobian group law over an abstract coordinate field."""
+
+    def __init__(self, f):
+        self.f = f
+
+    # -- representation -------------------------------------------------------
+    def inf(self, shape=()) -> Point:
+        return (self.f.one_mont(shape), self.f.one_mont(shape),
+                self.f.zero(shape))
+
+    def from_affine(self, x, y) -> Point:
+        """Affine (Montgomery) coords -> Jacobian; (0,0) encodes infinity
+        (snarkjs zkey convention for the point at infinity)."""
+        inf_mask = self.f.is_zero(x) & self.f.is_zero(y)
+        shape = _shape_of(x)
+        one = self.f.one_mont(shape)
+        z = self.f.select(inf_mask, self.f.zero(shape), one)
+        return (self.f.select(inf_mask, one, x),
+                self.f.select(inf_mask, one, y), z)
+
+    def is_inf(self, p: Point):
+        return self.f.is_zero(p[2])
+
+    def neg(self, p: Point) -> Point:
+        return (p[0], self.f.neg(p[1]), p[2])
+
+    def select(self, mask, a: Point, b: Point) -> Point:
+        return tuple(self.f.select(mask, x, y) for x, y in zip(a, b))
+
+    # -- group law -------------------------------------------------------------
+    # Graph-size discipline: independent field products inside each
+    # formula are batched through f.mul_many so a full Jacobian op costs
+    # a handful of mul instantiations, not 23 (see ops/field.py header).
+
+    def double(self, p: Point) -> Point:
+        """2P, a = 0 curve. Handles infinity (Z=0 stays Z=0)."""
+        f = self.f
+        x, y, z = p
+        a, b, yz = f.mul_many([(x, x), (y, y), (y, z)])
+        e = f.add(f.double(a), a)  # 3a
+        xb = f.add(x, b)
+        c, xb2, e2 = f.mul_many([(b, b), (xb, xb), (e, e)])
+        # d = 2((x+b)^2 - a - c)
+        d = f.double(f.sub(f.sub(xb2, a), c))
+        x3 = f.sub(e2, f.double(d))
+        c8 = f.double(f.double(f.double(c)))
+        (ed,) = f.mul_many([(e, f.sub(d, x3))])
+        y3 = f.sub(ed, c8)
+        z3 = f.double(yz)
+        return (x3, y3, z3)
+
+    def add(self, p: Point, q: Point) -> Point:
+        """P + Q, complete w.r.t. infinity / equality / inverses.
+
+        Branch-free: computes chord and tangent paths (sharing batched
+        mul stages), selects per lane. Valid as a scan combiner.
+        """
+        f = self.f
+        x1, y1, z1 = p
+        x2, y2, z2 = q
+
+        # stage 1: squares + tangent-path products
+        z1z1, z2z2, ta, tb, tyz = f.mul_many(
+            [(z1, z1), (z2, z2), (x1, x1), (y1, y1), (y1, z1)])
+        # stage 2
+        u1, u2, z2c, z1c, z1z2, tc, txb2, te2 = f.mul_many([
+            (x1, z2z2), (x2, z1z1), (z2z2, z2), (z1z1, z1), (z1, z2),
+            (tb, tb),
+            (f.add(x1, tb), f.add(x1, tb)),
+            (f.add(f.double(ta), ta), f.add(f.double(ta), ta)),
+        ])
+        te = f.add(f.double(ta), ta)          # 3*x1^2 (tangent slope num)
+        td = f.double(f.sub(f.sub(txb2, ta), tc))
+        tx3 = f.sub(te2, f.double(td))
+        # stage 3
+        s1, s2 = f.mul_many([(y1, z2c), (y2, z1c)])
+        h = f.sub(u2, u1)
+        r = f.sub(s2, s1)
+        # stage 4
+        hh, rsq, ted = f.mul_many([(h, h), (r, r), (te, f.sub(td, tx3))])
+        ty3 = f.sub(ted, f.double(f.double(f.double(tc))))
+        tz3 = f.double(tyz)
+        # stage 5
+        hhh, v, z3 = f.mul_many([(h, hh), (u1, hh), (z1z2, h)])
+        x3 = f.sub(f.sub(rsq, hhh), f.double(v))
+        # stage 6
+        w1, w2 = f.mul_many([(r, f.sub(v, x3)), (s1, hhh)])
+        y3 = f.sub(w1, w2)
+        out = (x3, y3, z3)
+
+        h_zero = f.is_zero(h)
+        r_zero = f.is_zero(r)
+        p_inf = f.is_zero(z1)
+        q_inf = f.is_zero(z2)
+        both = (~p_inf) & (~q_inf)
+
+        shape = _shape_of(x1)
+        out = self.select(both & h_zero & r_zero, (tx3, ty3, tz3), out)
+        out = self.select(both & h_zero & (~r_zero), self.inf(shape), out)
+        out = self.select(p_inf, q, out)
+        out = self.select(q_inf & (~p_inf), p, out)
+        return out
+
+    def scalar_mul(self, p: Point, scalar_packed, bits: int = 256) -> Point:
+        """[k]P with k as a (..., 16) packed uint32 limb array (plain
+        integer, not reduced — matching mulByScalar byte semantics,
+        groth16.cpp:223-245).
+
+        fori_loop double-and-add: the graph holds ONE add + ONE double
+        regardless of `bits` (graph-size discipline: every unrolled
+        Jacobian op costs ~7k HLO ops after limb expansion).
+        """
+        import jax
+
+        shape = _shape_of(p[0])
+
+        def body(i, state):
+            acc, cur = state
+            limb = jnp.take(scalar_packed, i >> 4, axis=-1)
+            bit = ((limb >> (i.astype(jnp.uint32) & 15)) & 1).astype(jnp.bool_)
+            acc = self.select(bit, self.add(acc, cur), acc)
+            cur = self.double(cur)
+            return acc, cur
+
+        acc, _ = jax.lax.fori_loop(0, bits, body, (self.inf(shape), p))
+        return acc
+
+    def tree_reduce(self, pts: Point) -> Point:
+        """Sum a batch of points along axis 0 with a balanced tree.
+
+        pts coordinates carry a leading batch axis; static shapes: the
+        batch is halved (padding odd levels with infinity) log2(n) times.
+        """
+        n = _shape_of(pts[0])[0]
+        while n > 1:
+            if n % 2 == 1:
+                pad = self.inf((1,) + _shape_of(pts[0])[1:])
+                pts = tuple(
+                    _map_leaves2(a, b,
+                                 lambda u, v: jnp.concatenate([u, v], axis=1))
+                    for a, b in zip(pts, pad))
+                n += 1
+            lo = _tree_index(pts, slice(0, n, 2))
+            hi = _tree_index(pts, slice(1, n, 2))
+            pts = self.add(lo, hi)
+            n //= 2
+        return _tree_index(pts, 0)
+
+
+def _shape_of(elem):
+    """Batch shape of a field element ((16,*batch) array or Fq2 pair)."""
+    while isinstance(elem, tuple):
+        elem = elem[0]
+    return elem.shape[1:]
+
+
+def _map_leaves(elem, fn):
+    if isinstance(elem, tuple):
+        return tuple(_map_leaves(e, fn) for e in elem)
+    return fn(elem)
+
+
+def _tree_index(pt, idx):
+    """Index the leading batch axis (axis 1 of each (16, n, ...) leaf)."""
+    return tuple(_map_leaves(c, lambda a: a[:, idx]) for c in pt)
+
+
+def _map_leaves2(a, b, fn):
+    if isinstance(a, tuple):
+        return tuple(_map_leaves2(x, y, fn) for x, y in zip(a, b))
+    return fn(a, b)
+
+
+G1 = CurveOps(FQ)
+G2 = CurveOps(FQ2)

@@ -1,0 +1,286 @@
+"""Vectorized multi-limb Montgomery field arithmetic for TPU (JAX).
+
+This replaces ffiasm's generated x86-64 ADX assembly (reference layer L0,
+SURVEY.md §1, §2.12) with a formulation the TPU VPU vectorizes.
+
+Representation: a field element batch is ONE uint32 array of shape
+(16, *batch) — 16 little-endian 16-bit limbs on the LEADING axis, batch
+on the trailing axes. On TPU the trailing axis maps to vector lanes
+(full 128-lane utilization); limb-index operations are cheap leading-axis
+slices. The same code runs as plain XLA ops and inside Pallas kernel
+bodies (only elementwise ops, static slices and dynamic_update_slice —
+no gathers in the field layer).
+
+Why 16-bit limbs in uint32 (the central invariant):
+  * limb products of canonical operands are exact in uint32
+    (0xffff^2 < 2^32); TPUs have no 64-bit integer multiply;
+  * products are split into lo/hi 16-bit halves and accumulated in
+    columns with >10 bits of headroom — carries are deferred and then
+    resolved in O(log n) with a Kogge-Stone generate/propagate pass;
+  * Montgomery REDC with word 2^16 and R = 2^256 = (2^16)^16 matches
+    the zkey/wtns on-disk convention exactly (SURVEY.md §3.1).
+
+Graph-size discipline: one mont_mul is ~250 HLO ops, one field add ~90.
+Composite algorithms (curve ops, NTT, MSM) must keep the number of
+*instantiations* bounded with lax.scan / fori_loop — an unrolled
+Jacobian ladder does not compile in reasonable time.
+
+All values are canonical (< modulus) between public ops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NLIMBS = 16
+LIMB_BITS = 16
+MASK = (1 << LIMB_BITS) - 1
+
+Elem = jnp.ndarray  # (16, *batch) uint32
+
+
+def unpack(arr) -> Elem:
+    """(..., 16) uint32 (API/disk layout) -> (16, ...) internal layout."""
+    return jnp.moveaxis(arr, -1, 0)
+
+
+def pack(elem: Elem) -> jnp.ndarray:
+    """(16, ...) internal -> (..., 16)."""
+    return jnp.moveaxis(elem, 0, -1)
+
+
+def _shift_down(x, sh: int):
+    """Along the limb axis: out[j] = x[j - sh], zero-filled below."""
+    return jnp.concatenate([jnp.zeros_like(x[:sh]), x[:-sh]], axis=0)
+
+
+def _resolve_ones(base, c):
+    """Exact carry resolution when per-limb carries are 0/1.
+
+    base: limbs <= MASK; c[j] in {0,1}: carry generated OUT of limb j.
+    Kogge-Stone generate/propagate prefix in log2(16) = 4 rounds.
+    Returns (canonical limbs, carry_out_of_top: bool batch array).
+    """
+    g = c.astype(jnp.bool_)
+    p = base == MASK
+    for sh in (1, 2, 4, 8):
+        g = g | (p & _shift_down(g, sh))
+        p = p & _shift_down(p, sh)
+    carry_in = _shift_down(g, 1)
+    out = (base + carry_in.astype(jnp.uint32)) & MASK
+    return out, g[-1]
+
+
+def _split_resolve(s):
+    """Resolve limbs < 2^17 (one deferred carry bit per limb)."""
+    return _resolve_ones(s & MASK, s >> LIMB_BITS)
+
+
+def _resolve_wide(s):
+    """Resolve limbs < 2^26 (multi-bit deferred carries): one split-add
+    pass brings carries to 0/1, then Kogge-Stone. Carry out of the top
+    limb must be structurally impossible at call sites."""
+    c = s >> LIMB_BITS
+    s2 = (s & MASK) + _shift_down(c, 1)
+    out, _ = _split_resolve(s2)
+    return out
+
+
+class FieldOps:
+    """Montgomery arithmetic mod `modulus`, R = 2^256.
+
+    Stateless apart from Python-int constants baked into the traced
+    graph; safe inside jit / shard_map / Pallas kernel bodies.
+    """
+
+    def __init__(self, modulus: int):
+        self.modulus = modulus
+        self.p_int = [(modulus >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS)]
+        self.n0inv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        self.r1 = (1 << 256) % modulus
+        self.r2 = (1 << 512) % modulus
+        self.rinv = pow(1 << 256, -1, modulus)
+        import numpy as np
+        self._p_np = np.array(self.p_int, dtype=np.uint32)
+        # two's-complement constant for >= p test / subtract: (MASK^p) + 1
+        notp = [(MASK ^ v) for v in self.p_int]
+        notp[0] += 1  # p is odd, so no limb overflow
+        self._notp1_np = np.array(notp, dtype=np.uint32)
+
+    # -- constants ----------------------------------------------------------
+    def _c(self, np_vec, ndim: int):
+        return jnp.asarray(np_vec).reshape((len(np_vec),) + (1,) * (ndim - 1))
+
+    def const(self, value: int, shape=()) -> Elem:
+        value %= self.modulus
+        import numpy as np
+        v = np.array([(value >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS)],
+                     dtype=np.uint32)
+        return jnp.broadcast_to(
+            jnp.asarray(v).reshape((NLIMBS,) + (1,) * len(shape)),
+            (NLIMBS,) + tuple(shape))
+
+    def zero(self, shape=()) -> Elem:
+        return jnp.zeros((NLIMBS,) + tuple(shape), dtype=jnp.uint32)
+
+    def one_mont(self, shape=()) -> Elem:
+        return self.const(self.r1, shape)
+
+    # -- selection / predicates ----------------------------------------------
+    @staticmethod
+    def select(mask, a: Elem, b: Elem) -> Elem:
+        """mask ? a : b; mask is batch-shaped (broadcast over limbs)."""
+        return jnp.where(mask[None], a, b)
+
+    @staticmethod
+    def is_zero(a: Elem):
+        return jnp.bitwise_or.reduce(a, axis=0) == 0
+
+    @staticmethod
+    def eq(a: Elem, b: Elem):
+        return jnp.bitwise_or.reduce(a ^ b, axis=0) == 0
+
+    # -- modular ring ops ------------------------------------------------------
+    def _cond_sub_p(self, s: Elem) -> Elem:
+        """s < 2p, canonical limbs -> s mod p."""
+        t = s + self._c(self._notp1_np, s.ndim)
+        red, ge = _resolve_ones(t & MASK, t >> LIMB_BITS)
+        return jnp.where(ge[None], red, s)
+
+    def add(self, a: Elem, b: Elem) -> Elem:
+        s, _ = _split_resolve(a + b)  # < 2p < 2^255: no top carry
+        return self._cond_sub_p(s)
+
+    def sub(self, a: Elem, b: Elem) -> Elem:
+        # a - b via two's complement; add p back on borrow
+        t = a + (jnp.uint32(MASK) ^ b)
+        t = t.at[0].add(1)
+        d, ok = _resolve_ones(t & MASK, t >> LIMB_BITS)
+        e, _ = _split_resolve(d + self._c(self._p_np, d.ndim))
+        return jnp.where(ok[None], d, e)
+
+    def neg(self, a: Elem) -> Elem:
+        return self.sub(self.zero(a.shape[1:]), a)
+
+    def double(self, a: Elem) -> Elem:
+        return self.add(a, a)
+
+    # -- Montgomery multiply -----------------------------------------------------
+    def mul(self, a: Elem, b: Elem, unroll: bool = False) -> Elem:
+        """mont_mul: a*b*R^-1 mod p. Canonical in, canonical (< p) out.
+        Inputs may be lazily reduced (< 2p) as long as limbs are < 2^16.
+
+        CIOS with a *sliding 17-column window*: at step i the window
+        holds columns i..i+16, step i adds the a_i*b partial product and
+        one REDC round (word 2^16), then shifts — static slices only, no
+        dynamic indexing, so the body is ~30 ops and runs under lax.scan
+        (the whole mul is ~300 HLO lines) or unrolled for Pallas bodies.
+
+        Column bound: each window column accumulates <= 16 product
+        half-pairs (< 2^17 each) plus <= 16 reduction halves: < 2^22.
+        """
+        batch = a.shape[1:]
+        nd = a.ndim
+        p_col = self._c(self._p_np[1:], nd)      # (15, 1...) constant
+        n0inv = jnp.uint32(self.n0inv)
+        p0 = jnp.uint32(self.p_int[0])
+        zero1 = jnp.zeros((1,) + batch, dtype=jnp.uint32)
+
+        def step(state, ai):
+            cols, carry = state
+            prod = ai[None] * b                  # (16,*batch), exact
+            plo = prod & MASK
+            phi = prod >> LIMB_BITS
+            contrib = jnp.concatenate(
+                [plo[0:1], plo[1:] + phi[:-1], phi[-1:]], axis=0)  # (17,b)
+            cols = cols + contrib
+            cur = cols[0] + carry
+            m = (cur * n0inv) & MASK
+            q0 = m * p0
+            carry = ((cur + (q0 & MASK)) >> LIMB_BITS) + (q0 >> LIMB_BITS)
+            q = m[None] * p_col                  # (15,*batch): m * p[1..15]
+            mc = jnp.concatenate(
+                [q[0:1] & MASK,
+                 (q[1:] & MASK) + (q[:-1] >> LIMB_BITS),
+                 q[-1:] >> LIMB_BITS], axis=0)   # (16,b) at window cols 1..16
+            cols = jnp.concatenate([cols[1:] + mc, zero1], axis=0)  # shift out
+            return (cols, carry), None
+
+        cols0 = jnp.zeros((NLIMBS + 1,) + batch, dtype=jnp.uint32)
+        carry0 = jnp.zeros(batch, dtype=jnp.uint32)
+        if unroll:
+            state = (cols0, carry0)
+            for i in range(NLIMBS):
+                state, _ = step(state, a[i])
+        else:
+            import jax
+            state, _ = jax.lax.scan(step, (cols0, carry0), a)
+        cols, carry = state
+        res = jnp.concatenate([(cols[0] + carry)[None], cols[1:]], axis=0)
+        out = _resolve_wide(res)[:NLIMBS]
+        return self._cond_sub_p(out)
+
+    def mul_many(self, pairs, unroll: bool = False):
+        """Batch k independent products into ONE mul instantiation.
+
+        Graph-size lever for composite formulas (Jacobian add = 6 mul
+        instantiations instead of 23): stacks along a new axis 1.
+        """
+        a = jnp.stack([p[0] for p in pairs], axis=1)
+        b = jnp.stack([p[1] for p in pairs], axis=1)
+        out = self.mul(a, b, unroll=unroll)
+        return [out[:, k] for k in range(len(pairs))]
+
+    def add_lazy(self, a: Elem, b: Elem) -> Elem:
+        """a+b with canonical limbs but value possibly in [p, 2p).
+        Valid as a `mul` input only (Karatsuba interior sums)."""
+        s, _ = _split_resolve(a + b)
+        return s
+
+    def sqr(self, a: Elem) -> Elem:
+        return self.mul(a, a)
+
+    def from_mont(self, a: Elem) -> Elem:
+        """a * R^-1 (the reference's fromMontgomery, groth16.cpp:162)."""
+        return self.mul(a, self.const(1, a.shape[1:]))
+
+    def to_mont(self, a: Elem) -> Elem:
+        return self.mul(a, self.const(self.r2, a.shape[1:]))
+
+    def mul_plain_const(self, a: Elem, value: int) -> Elem:
+        """a * value mod p for a plain-int constant (bakes value*R)."""
+        return self.mul(a, self.const(value * self.r1 % self.modulus,
+                                      a.shape[1:]))
+
+    # -- wide reduction (for unreduced accumulator sums) ------------------------
+    def reduce_wide(self, cols: Elem) -> Elem:
+        """Reduce a deferred-carry accumulator of K >= 18 columns (column
+        values < 2^31) to a canonical element.
+
+        Used after limb-wise segment sums in the witness->polynomial
+        accumulation — the TPU-idiomatic replacement for the reference's
+        striped-lock scatter (groth16.cpp:63-85). value = lo + hi*2^256
+        with hi < 2^(16(K-16)); lo mod p via Montgomery round trip, and
+        hi*2^256 mod p = to_mont(hi).
+        """
+        out = []
+        carry = jnp.zeros_like(cols[0])
+        for k in range(cols.shape[0]):
+            t = cols[k] + carry
+            out.append(t & MASK)
+            carry = t >> LIMB_BITS
+        full = jnp.stack(out)  # carry-out is structurally zero at call sites
+        lo = full[:NLIMBS]
+        hi = jnp.zeros_like(lo)
+        nhi = full.shape[0] - NLIMBS
+        hi = hi.at[:nhi].set(full[NLIMBS:])
+        lo_red = self.from_mont(self.to_mont(lo))  # maps any x<2^256 to x mod p
+        hi_red = self.to_mont(hi)                  # hi * 2^256 mod p
+        return self.add(lo_red, hi_red)
+
+
+# Canonical instances for BN254.
+from ..ref.field import P as _P, R_FR as _R  # noqa: E402
+
+FQ = FieldOps(_P)
+FR = FieldOps(_R)

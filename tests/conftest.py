@@ -8,12 +8,18 @@ before the first `import jax` anywhere in the test session.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# The axon sitecustomize force-registers the TPU platform regardless of
+# JAX_PLATFORMS; override at the config level before any device use.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
