@@ -1,0 +1,28 @@
+"""Runtime configuration (aux subsystem §5.6 — the reference has NO
+config system: pure argv + compile-time constants, SURVEY.md §5.6; this
+replaces its hardcoded knobs with env-var-backed settings).
+
+    RSTPU_WINDOW_BITS    Pippenger window size c (default: auto by n)
+    RSTPU_WINDOW_GROUP   windows batched per MSM scan step (default 4)
+    RSTPU_CACHE          compilation cache dir ("0" disables)
+    RSTPU_LOG_LEVEL      error|info|trace|debug
+    RSTPU_LOG_FILE       log sink path (default console)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def _int_env(name: str) -> Optional[int]:
+    v = os.environ.get(name)
+    return int(v) if v else None
+
+
+def window_bits() -> Optional[int]:
+    return _int_env("RSTPU_WINDOW_BITS")
+
+
+def window_group() -> int:
+    return _int_env("RSTPU_WINDOW_GROUP") or 4

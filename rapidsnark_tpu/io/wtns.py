@@ -28,7 +28,8 @@ class Wtns:
 
 
 def read_wtns(path: str) -> Wtns:
-    f = BinFile(path, "wtns", 2)
+    from .native import open_binfile
+    f = open_binfile(path, "wtns", 2)
     try:
         h = f.section_bytes(1)
         (n8,) = struct.unpack_from("<I", h, 0)

@@ -29,11 +29,22 @@ from .field import FieldOps, FQ
 class Fq2Ops:
     """Fq2 = Fq[i]/(i^2+1) with the FieldOps interface.
 
-    Elements are (c0, c1) tuples of limb lists.
+    Elements are (c0, c1) tuples of limb arrays. Every linear op stacks
+    the two components into ONE base-field instantiation (graph-size
+    discipline, see ops/field.py header): an Fq2 add costs the same
+    compiled code as an Fq add on a 2x batch.
     """
 
     def __init__(self, base: FieldOps):
         self.f = base
+
+    @staticmethod
+    def _stack2(a):
+        return jnp.stack([a[0], a[1]], axis=1)  # (16, 2, *batch)
+
+    @staticmethod
+    def _unstack2(v):
+        return (v[:, 0], v[:, 1])
 
     def zero(self, shape=()):
         return (self.f.zero(shape), self.f.zero(shape))
@@ -42,39 +53,52 @@ class Fq2Ops:
         return (self.f.one_mont(shape), self.f.zero(shape))
 
     def add(self, a, b):
-        return (self.f.add(a[0], b[0]), self.f.add(a[1], b[1]))
+        return self._unstack2(self.f.add(self._stack2(a), self._stack2(b)))
 
     def sub(self, a, b):
-        return (self.f.sub(a[0], b[0]), self.f.sub(a[1], b[1]))
+        return self._unstack2(self.f.sub(self._stack2(a), self._stack2(b)))
 
     def neg(self, a):
-        return (self.f.neg(a[0]), self.f.neg(a[1]))
+        s = self._stack2(a)
+        return self._unstack2(self.f.sub(self.f.zero(s.shape[1:]), s))
 
     def double(self, a):
-        return (self.f.double(a[0]), self.f.double(a[1]))
+        s = self._stack2(a)
+        return self._unstack2(self.f.add(s, s))
 
     def mul(self, a, b):
         return self.mul_many([(a, b)])[0]
 
     def mul_many(self, pairs):
-        """k Fq2 products as ONE base-field mul instantiation (3k lanes).
+        """k Fq2 products as ONE base-field mul instantiation (3k lanes)
+        plus ONE lazy-add instantiation for the Karatsuba interior sums.
 
         Karatsuba: m0 = a0 b0, m1 = a1 b1, t = (a0+a1)(b0+b1);
         re = m0 - m1, im = t - m0 - m1. Interior sums are lazily reduced
         (< 2p) which `FieldOps.mul` accepts.
         """
         f = self.f
+        k = len(pairs)
+        # (16, k, *batch) stacks of the Karatsuba interior sums
+        asum = f.add_lazy(jnp.stack([p[0][0] for p in pairs], axis=1),
+                          jnp.stack([p[0][1] for p in pairs], axis=1))
+        bsum = f.add_lazy(jnp.stack([p[1][0] for p in pairs], axis=1),
+                          jnp.stack([p[1][1] for p in pairs], axis=1))
         base_pairs = []
-        for (a, b) in pairs:
+        for i, (a, b) in enumerate(pairs):
             base_pairs.append((a[0], b[0]))
             base_pairs.append((a[1], b[1]))
-            base_pairs.append((f.add_lazy(a[0], a[1]), f.add_lazy(b[0], b[1])))
+            base_pairs.append((asum[:, i], bsum[:, i]))
         outs = f.mul_many(base_pairs)
-        res = []
-        for k in range(len(pairs)):
-            m0, m1, t = outs[3 * k:3 * k + 3]
-            res.append((f.sub(m0, m1), f.sub(f.sub(t, m0), m1)))
-        return res
+        # re = m0 - m1, im = (t - m0) - m1: two batched sub instantiations
+        m0 = jnp.stack([outs[3 * i] for i in range(k)], axis=1)
+        m1 = jnp.stack([outs[3 * i + 1] for i in range(k)], axis=1)
+        t = jnp.stack([outs[3 * i + 2] for i in range(k)], axis=1)
+        first = f.sub(jnp.concatenate([m0, t], axis=1),
+                      jnp.concatenate([m1, m0], axis=1))
+        re, tm0 = first[:, :k], first[:, k:]
+        im = f.sub(tm0, m1)
+        return [(re[:, i], im[:, i]) for i in range(k)]
 
     def sqr(self, a):
         return self.mul(a, a)
@@ -204,23 +228,32 @@ class CurveOps:
         integer, not reduced — matching mulByScalar byte semantics,
         groth16.cpp:223-245).
 
-        fori_loop double-and-add: the graph holds ONE add + ONE double
-        regardless of `bits` (graph-size discipline: every unrolled
-        Jacobian op costs ~7k HLO ops after limb expansion).
+        fori_loop double-and-add sharing ONE adder instantiation across
+        the accumulate and double phases (graph-size discipline: every
+        unrolled Jacobian op costs ~3k HLO ops after limb expansion;
+        doubling is the complete adder's tangent path).
         """
         import jax
 
         shape = _shape_of(p[0])
+        identity = self.inf(shape)
 
         def body(i, state):
             acc, cur = state
-            limb = jnp.take(scalar_packed, i >> 4, axis=-1)
-            bit = ((limb >> (i.astype(jnp.uint32) & 15)) & 1).astype(jnp.bool_)
-            acc = self.select(bit, self.add(acc, cur), acc)
-            cur = self.double(cur)
+            step, phase = i // 2, i % 2
+            limb = jnp.take(scalar_packed, step >> 4, axis=-1)
+            bit = ((limb >> (step.astype(jnp.uint32) & 15)) & 1
+                   ).astype(jnp.bool_)
+            # phase 0: acc += bit ? cur : O;   phase 1: cur += cur
+            x = self.select(phase == 1, cur, acc)
+            y = self.select(phase == 1, cur,
+                            self.select(bit, cur, identity))
+            z = self.add(x, y)
+            acc = self.select(phase == 0, z, acc)
+            cur = self.select(phase == 1, z, cur)
             return acc, cur
 
-        acc, _ = jax.lax.fori_loop(0, bits, body, (self.inf(shape), p))
+        acc, _ = jax.lax.fori_loop(0, 2 * bits, body, (identity, p))
         return acc
 
     def tree_reduce(self, pts: Point) -> Point:

@@ -1,0 +1,315 @@
+"""Pippenger multi-scalar multiplication for TPU (JAX/XLA).
+
+TPU-native replacement for ffiasm's `multiMulByScalar` (reference
+depends/ffiasm/c/multiexp.cpp, called at /root/reference/src/groth16.cpp:
+173-204; SURVEY.md §2.12, §3.1 [HOT]). The reference parallelizes bucket
+accumulation over OpenMP threads with per-thread bucket tables; that
+design (data-dependent scatter into buckets) is hostile to XLA's static
+dataflow, so the TPU formulation is different:
+
+For each c-bit window:
+  1. digit extraction   — d_i = c-bit slice of scalar_i (vectorized),
+  2. sort by digit      — one XLA sort per window (argsort + gather),
+  3. prefix scan        — running group sums PS(k) = P'_0 + ... + P'_{k-1}
+     of the sorted points, computed with the branch-free *complete*
+     Jacobian adder (ops/curve.py) as combiner: a lax.scan over chunk
+     columns (C-step sequential, n/C lanes wide) plus a roll-based
+     Hillis-Steele pass over chunk totals — 2 adder instantiations total,
+  4. bucket sums        — B_j = PS(cum_j) - PS(cum_{j-1}) where cum_j
+     counts digits <= j (prefix-difference trick: group subtraction is
+     one add of a negated point, so buckets never need a scatter),
+  5. window total       — sum_j j*B_j = sum_j S_j with S_j = sum_{k>=j} B_k:
+     two more Hillis-Steele prefix passes (suffix sums, then their sum).
+
+Windows are *batched on a vector axis* (leaves (16, G, n)) and processed
+in groups of G via lax.scan, so the sequential chunk scan is paid once
+per group, not once per window. Window results combine with a 256-step
+double-and-add ladder (1 double + 1 add instantiation).
+
+Work per window ~ n complete adds (same as classical Pippenger's bucket
+phase) but with full lane parallelism and no locks; all shapes static.
+
+Scalars are consumed as plain little-endian 256-bit integers of
+sizeof(FrElement) bytes, exactly like the reference (SURVEY.md §3.1
+"MSM consumes scalars as plain little-endian integers").
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .curve import CurveOps, G1, G2, _map_leaves, _shape_of
+
+SCALAR_BITS = 256
+_CHUNK = 256  # columns of the sequential chunk scan
+
+
+# ---------------------------------------------------------------------------
+# point pytree helpers (leaves are (16, *batch) uint32 limb arrays)
+# ---------------------------------------------------------------------------
+
+def _pt_map(pt, fn):
+    return tuple(_map_leaves(c, fn) for c in pt)
+
+
+def _pt_take_last(pt, idx):
+    """Gather along the last (lane) axis with a batch-shaped index array."""
+    def g(a):
+        ib = jnp.broadcast_to(idx[None], (16,) + idx.shape)
+        return jnp.take_along_axis(a, ib, axis=-1)
+    return _pt_map(pt, g)
+
+
+# ---------------------------------------------------------------------------
+# prefix machinery
+# ---------------------------------------------------------------------------
+
+def _hillis_prefix(curve: CurveOps, pt, size: int):
+    """Inclusive running group sum along the last axis (any leading batch).
+
+    Roll-based Hillis-Steele: log2(size) sequential steps, ONE adder
+    instantiation in the graph (shift is a traced value through jnp.roll).
+    """
+    steps = max((size - 1).bit_length(), 1) if size > 1 else 0
+    lane = jnp.arange(size)
+
+    def body(i, x):
+        sh = jnp.int32(1) << i
+        rolled = _pt_map(x, lambda a: jnp.roll(a, sh, axis=-1))
+        summed = curve.add(x, rolled)
+        return curve.select(lane < sh, x, summed)
+
+    return jax.lax.fori_loop(0, steps, body, pt) if steps else pt
+
+
+def _chunked_prefix(curve: CurveOps, pt, batch: Tuple[int, ...], n: int):
+    """All-positions inclusive prefix group sums along the last axis.
+
+    pt leaves: (16, *batch, n) with n % _CHUNK == 0. Returns
+    (within, excl): within-chunk inclusive prefixes (16, *batch, n viewed
+    as nb*C) and exclusive per-chunk offsets (16, *batch, nb), so
+    PS(k) = excl[k // C] + within[k] for inclusive-k and callers gather
+    only the boundary positions they need.
+    """
+    C = _CHUNK
+    nb = n // C
+    # (16,*batch,n) -> (C, 16, *batch, nb): C becomes the scan axis.
+    def to_cols(a):
+        a = a.reshape(a.shape[:-1] + (nb, C))
+        return jnp.moveaxis(a, -1, 0)
+    xs = _pt_map(pt, to_cols)
+
+    def step(acc, col):
+        acc = curve.add(acc, col)
+        return acc, acc
+
+    tot, within = jax.lax.scan(step, curve.inf(batch + (nb,)), xs)
+    # within leaves: (C, 16, *batch, nb) -> (16, *batch, nb, C) -> flat n
+    def from_cols(a):
+        a = jnp.moveaxis(a, 0, -1)
+        return a.reshape(a.shape[:-2] + (nb * C,))
+    within = _pt_map(within, from_cols)
+
+    incl = _hillis_prefix(curve, tot, nb)
+    rolled = _pt_map(incl, lambda a: jnp.roll(a, 1, axis=-1))
+    excl = curve.select(jnp.arange(nb) == 0, curve.inf(batch + (nb,)), rolled)
+    return within, excl
+
+
+def _ps_at(curve: CurveOps, within, excl, k):
+    """PS(k) = sum of the first k sorted points; k: (*batch, m) int32."""
+    pos = jnp.maximum(k - 1, 0)
+    w = _pt_take_last(within, pos)
+    e = _pt_take_last(excl, pos // _CHUNK)
+    s = curve.add(w, e)
+    return curve.select(k == 0, curve.inf(k.shape), s)
+
+
+# ---------------------------------------------------------------------------
+# digit extraction
+# ---------------------------------------------------------------------------
+
+def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(*batch, n, 16) packed u32 limbs -> (W, *batch, n) c-bit window
+    digits, c <= 16."""
+    assert 1 <= c <= 16
+    nwin = -(-SCALAR_BITS // c)
+    pad = jnp.zeros(scalars.shape[:-1] + (1,), dtype=jnp.uint32)
+    s = jnp.concatenate([scalars, pad], axis=-1)
+    mask = jnp.uint32((1 << c) - 1)
+    rows = []
+    for w in range(nwin):
+        off_bits = w * c
+        limb, off = divmod(off_bits, 16)
+        pair = s[..., limb] | (s[..., limb + 1] << 16)
+        rows.append((pair >> off) & mask)
+    return jnp.stack(rows).astype(jnp.int32)
+
+
+def best_window_bits(n: int) -> int:
+    """Pick c minimizing the lane-add work model of this formulation:
+    W(c) * (n + 4*2^c*c) — chunk scan + the Hillis bucket passes."""
+    best, best_cost = 1, None
+    for c in range(1, 17):
+        nwin = -(-SCALAR_BITS // c)
+        cost = nwin * (n + 4 * (1 << c) * c)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
+# ---------------------------------------------------------------------------
+# MSM core
+# ---------------------------------------------------------------------------
+
+def _window_group(curve: CurveOps, pts, digits, n: int, c: int):
+    """Window totals for a group of windows. digits: (G, *batch, n),
+    pts leaves (16, *batch, n). Returns point with batch (G, *batch)."""
+    bshape = digits.shape[:-1]       # (G, *batch)
+    nbuckets = 1 << c
+    perm = jnp.argsort(digits, axis=-1)
+    sorted_digits = jnp.take_along_axis(digits, perm, axis=-1)
+    # gather: leaf (16, *batch, n) -> (16, G, *batch, n)
+    def gather(a):
+        full = jnp.broadcast_to(a[:, None], (16,) + bshape + (n,))
+        idx = jnp.broadcast_to(perm[None], full.shape)
+        return jnp.take_along_axis(full, idx, axis=-1)
+    spts = _pt_map(pts, gather)
+
+    within, excl = _chunked_prefix(curve, spts, bshape, n)
+
+    queries = jnp.arange(nbuckets, dtype=jnp.int32)
+    cum = jax.vmap(
+        lambda d: jnp.searchsorted(d, queries, side="right"))(
+            sorted_digits.reshape(-1, n)).reshape(bshape + (nbuckets,))
+    cum = cum.astype(jnp.int32)
+    # boundary PS gathers for hi|lo in ONE adder instantiation (2M lanes)
+    lo_idx = jnp.concatenate(
+        [jnp.zeros(bshape + (1,), jnp.int32), cum[..., :-1]], axis=-1)
+    ps = _ps_at(curve, within, excl,
+                jnp.concatenate([cum, lo_idx], axis=-1))
+    hi = _pt_map(ps, lambda a: a[..., :nbuckets])
+    lo = _pt_map(ps, lambda a: a[..., nbuckets:])
+    buckets = curve.add(hi, curve.neg(lo))  # (G, nbuckets); B_0 unused
+
+    # sum_j j*B_j = sum_{j>=1} S_j with S_j = sum_{k>=j} B_k: two identical
+    # prefix passes (suffix sums, then their running total) — shared
+    # instantiation through an outer fori_loop.
+    brev = _pt_map(buckets, lambda a: a[..., 1:][..., ::-1])
+    total = jax.lax.fori_loop(
+        0, 2, lambda _, x: _hillis_prefix(curve, x, nbuckets - 1), brev)
+    return _pt_map(total, lambda a: a[..., -1])
+
+
+def _combine_windows(curve: CurveOps, wpts, nwin: int, c: int):
+    """Double-and-add ladder over stacked window results (batch (W,)).
+
+    ONE adder instantiation: even phases compute acc+acc (the complete
+    adder's tangent path doubles), odd phases add the window point on
+    c-bit boundaries and the identity elsewhere.
+    """
+    total_bits = nwin * c
+    bshape = _shape_of(wpts[0])[1:]  # leaves (16, W, *batch)
+    identity = curve.inf(bshape)
+
+    def body(i, acc):
+        step, phase = i // 2, i % 2
+        bit = total_bits - 1 - step
+        widx = bit // c
+        wp = _pt_map(wpts,
+                     lambda a: jax.lax.dynamic_index_in_dim(
+                         a, widx, axis=1, keepdims=False))
+        boundary = jnp.logical_and(phase == 1, (bit % c) == 0)
+        other = curve.select(phase == 0, acc,
+                             curve.select(boundary, wp, identity))
+        return curve.add(acc, other)
+
+    return jax.lax.fori_loop(0, 2 * total_bits, body, identity)
+
+
+def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
+        window_group: int = 4):
+    """Multi-scalar multiplication, batched over leading axes.
+
+    pts: Jacobian point pytree, leaves (16, *batch, n) (already padded so
+    that n % _CHUNK == 0, with infinity padding). scalars:
+    (*batch, n, 16) packed u32 plain-integer limbs (zero-padded rows for
+    padding points). Returns a Jacobian point with batch shape (*batch,).
+
+    Independent MSMs of equal length should ride the batch axes: the
+    prover fuses its four G1 MSMs (groth16.cpp:173-204) into one call,
+    which widens every sequential scan step 4x.
+    """
+    n = scalars.shape[-2]
+    bshape = scalars.shape[:-2]
+    digits = window_digits(scalars, c)  # (W, *batch, n)
+    nwin = digits.shape[0]
+    G_ = min(window_group, nwin)
+    while nwin % G_:
+        G_ -= 1
+    dgroups = digits.reshape((nwin // G_, G_) + bshape + (n,))
+
+    def step(_, dg):
+        return None, _window_group(curve, pts, dg, n, c)
+
+    _, wg = jax.lax.scan(step, None, dgroups)  # leaves (W/G, 16, G, *batch)
+    wpts = _pt_map(
+        wg, lambda a: jnp.moveaxis(a, 0, 1).reshape((16, nwin) + bshape))
+    return _combine_windows(curve, wpts, nwin, c)
+
+
+# ---------------------------------------------------------------------------
+# zkey-layout wrappers
+# ---------------------------------------------------------------------------
+
+def pad_len(n: int) -> int:
+    return max(_CHUNK, -(-n // _CHUNK) * _CHUNK)
+
+
+def prepare_g1(points_nk16) -> Tuple:
+    """(n, 2, 16) Montgomery affine limbs -> padded Jacobian pytree."""
+    import numpy as np
+    pts = np.asarray(points_nk16)
+    n, npad = pts.shape[0], pad_len(pts.shape[0])
+    if npad != n:
+        pts = np.concatenate(
+            [pts, np.zeros((npad - n, 2, 16), np.uint32)], axis=0)
+    x = jnp.asarray(np.moveaxis(pts[:, 0], -1, 0))
+    y = jnp.asarray(np.moveaxis(pts[:, 1], -1, 0))
+    return G1.from_affine(x, y)
+
+
+def prepare_g2(points_nk16) -> Tuple:
+    """(n, 4, 16) limbs (x.c0 x.c1 y.c0 y.c1) -> padded Jacobian pytree."""
+    import numpy as np
+    pts = np.asarray(points_nk16)
+    n, npad = pts.shape[0], pad_len(pts.shape[0])
+    if npad != n:
+        pts = np.concatenate(
+            [pts, np.zeros((npad - n, 4, 16), np.uint32)], axis=0)
+    coords = [jnp.asarray(np.moveaxis(pts[:, k], -1, 0)) for k in range(4)]
+    return G2.from_affine((coords[0], coords[1]), (coords[2], coords[3]))
+
+
+def pad_scalars(scalars_n16, npad: int) -> jnp.ndarray:
+    import numpy as np
+    s = np.asarray(scalars_n16, dtype=np.uint32)
+    if s.shape[0] != npad:
+        s = np.concatenate(
+            [s, np.zeros((npad - s.shape[0], 16), np.uint32)], axis=0)
+    return jnp.asarray(s)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def msm_g1(pts, scalars, c: int, window_group: int = 4):
+    return msm(G1, pts, scalars, c, window_group)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def msm_g2(pts, scalars, c: int, window_group: int = 4):
+    return msm(G2, pts, scalars, c, window_group)

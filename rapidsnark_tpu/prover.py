@@ -1,0 +1,354 @@
+"""TPU-native Groth16 prover: the full proving pipeline as ONE jitted
+device program.
+
+Implements the reference hot path /root/reference/src/groth16.cpp:49-254
+(SURVEY.md §3.1) with TPU-idiomatic replacements for each stage:
+
+  reference (C++ / OpenMP / asm)          here (JAX / XLA)
+  ------------------------------------    --------------------------------
+  striped-omp-lock coef scatter (63-85)   mont_mul + segment_sum in
+                                          deferred-carry limb space
+  pointwise a*b, h (89-96, 157-166)       batched limb-vector field ops
+  ffiasm FFT<Fr> coset FFTs (99-155)      ops/ntt radix-2 NTT, a/b/c
+                                          batched in one instantiation
+  ffiasm multiMulByScalar x5 (173-204)    ops/msm sort+scan Pippenger; the
+                                          four G1 MSMs ride ONE batched
+                                          call (4x wider vector lanes)
+  libsodium r/s (209-217)                 os.urandom 31-byte convention
+  proof assembly (222-246)                batched double-and-add ladders
+
+Representation pipeline preserved bit-for-bit (SURVEY.md §3.1): witness
+values stay standard-form, zkey tables stay Montgomery, h scalars get the
+extra fromMontgomery, MSMs consume plain little-endian integers. Given
+the same (r, s) the emitted proof is byte-identical to the reference's.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .io.zkey import ZKey
+from .ops import field as FF
+from .ops.field import FR
+from .ops.curve import G1, G2
+from .ops import msm as MSM
+from .ops.ntt import NTTPlan, to_odd_coset
+from .ref.field import R_FR
+from .ref.groth16 import Proof, sample_rs
+from .utils import points as PT
+from .utils.limbs import int_to_limbs
+
+
+def _log2(n: int) -> int:
+    p = n.bit_length() - 1
+    assert 1 << p == n, "domainSize must be a power of two"
+    return p
+
+
+def _pad_points(pts: np.ndarray, npad: int) -> np.ndarray:
+    n, k = pts.shape[0], pts.shape[1]
+    if n == npad:
+        return pts
+    return np.concatenate(
+        [pts, np.zeros((npad - n, k, 16), np.uint32)], axis=0)
+
+
+class Prover:
+    """One circuit's proving context: device-resident zkey tables + the
+    jitted pipeline. The analogue of Groth16::Prover (groth16.hpp:39-98) —
+    construction uploads the point tables once and precomputes NTT
+    twiddles (the reference's `new FFT<Fr>(domainSize*2)`, groth16.hpp:94).
+    """
+
+    def __init__(self, zkey: ZKey, window_bits: Optional[int] = None,
+                 window_group: int = 4, mesh=None):
+        self.zkey = zkey
+        self.n_vars = zkey.n_vars
+        self.n_public = zkey.n_public
+        self.domain = zkey.domain_size
+        self.power = _log2(self.domain)
+        self.n_c = zkey.points_c.shape[0]
+        self.mesh = mesh
+
+        if zkey.r != R_FR:
+            raise ValueError(
+                "zkey curve is not bn128")  # main_prover.cpp:46-48 semantics
+
+        # one padded length for all five MSMs so the four G1 MSMs stack
+        # on a batch axis and G2 reuses the same scalar row
+        if mesh is None:
+            self.nmax = MSM.pad_len(max(self.domain, self.n_vars))
+        else:
+            from .parallel import pmsm
+            self.nmax = pmsm.pad_len_sharded(
+                max(self.domain, self.n_vars), mesh.shape[pmsm.AXIS])
+        from . import config
+        self.c_bits = (window_bits or config.window_bits()
+                       or MSM.best_window_bits(self.nmax))
+        self.window_group = window_group or config.window_group()
+
+        # --- device point tables: G1 stacked (16, 4, nmax) --------------
+        stacked = np.stack([
+            _pad_points(zkey.points_h, self.nmax),
+            _pad_points(zkey.points_a, self.nmax),
+            _pad_points(zkey.points_b1, self.nmax),
+            _pad_points(zkey.points_c, self.nmax),
+        ])                                   # (4, nmax, 2, 16)
+        x = jnp.asarray(np.moveaxis(stacked[:, :, 0, :], -1, 0))
+        y = jnp.asarray(np.moveaxis(stacked[:, :, 1, :], -1, 0))
+        self.pts_g1 = G1.from_affine(x, y)   # leaves (16, 4, nmax)
+
+        b2 = _pad_points(zkey.points_b2, self.nmax)[None]  # (1, nmax, 4, 16)
+        cs = [jnp.asarray(np.moveaxis(b2[:, :, k, :], -1, 0))
+              for k in range(4)]
+        self.pts_g2 = G2.from_affine((cs[0], cs[1]), (cs[2], cs[3]))
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from .parallel import pmsm
+            sh = NamedSharding(mesh, pmsm.point_spec(3))
+            self.pts_g1 = jax.tree.map(
+                lambda a: jax.device_put(a, sh), self.pts_g1)
+            self.pts_g2 = jax.tree.map(
+                lambda a: jax.device_put(a, sh), self.pts_g2)
+
+        # --- vk points (single Jacobian points on device) ---------------
+        def one_g1(limbs):
+            return G1.from_affine(FF.unpack(jnp.asarray(limbs[0])),
+                                  FF.unpack(jnp.asarray(limbs[1])))
+
+        def one_g2(limbs):
+            cc = [FF.unpack(jnp.asarray(limbs[k])) for k in range(4)]
+            return G2.from_affine((cc[0], cc[1]), (cc[2], cc[3]))
+
+        self.vk_alpha1 = one_g1(zkey.vk_alpha1)
+        self.vk_beta1 = one_g1(zkey.vk_beta1)
+        self.vk_delta1 = one_g1(zkey.vk_delta1)
+        self.vk_beta2 = one_g2(zkey.vk_beta2)
+        self.vk_delta2 = one_g2(zkey.vk_delta2)
+
+        # --- coefficient table (zkey section 4) --------------------------
+        n = self.domain
+        seg = zkey.coef_m.astype(np.int64) * n + zkey.coef_c.astype(np.int64)
+        self.coef_seg = jnp.asarray(seg.astype(np.int32))
+        self.coef_s = jnp.asarray(zkey.coef_s.astype(np.int32))
+        self.coef_val = jnp.asarray(zkey.coef_val)  # (nCoefs, 16) Montgomery
+        # deferred-carry headroom: limb column sums must stay < 2^31
+        counts = np.bincount(seg, minlength=2 * n)
+        if counts.max(initial=0) >= (1 << 15):
+            raise ValueError("coefficient rows too dense for u32 limb "
+                             "accumulation (> 2^15 terms on one wire)")
+
+        # --- NTT plan for the proving domain ------------------------------
+        plan = NTTPlan(self.power)
+        self.ntt_arrays = {k: jnp.asarray(v) for k, v in plan.arrays().items()}
+        self.eta = plan.eta
+
+        self.last_phases: Dict[str, float] = {}
+        # jit static key: equal-config Provers share ONE compiled
+        # executable (self is static_argnums=0 in _pipeline_jit; without
+        # this, every instance would recompile the pipeline)
+        mesh_key = None if mesh is None else (
+            tuple(mesh.shape.items()), tuple(str(d) for d in
+                                             mesh.devices.flat))
+        self._config_key = (self.n_vars, self.n_public, self.domain,
+                            self.n_c, self.nmax, self.c_bits,
+                            self.window_group, zkey.n_coefs, mesh_key)
+
+    def __hash__(self):
+        return hash(self._config_key)
+
+    def __eq__(self, other):
+        return (isinstance(other, Prover)
+                and self._config_key == other._config_key)
+
+    # -- the fused pipeline (ONE jitted program) ----------------------------
+
+    def tables(self) -> dict:
+        """Device tables passed as jit ARGUMENTS (never closed over: a
+        captured jnp array becomes an HLO constant and XLA's constant
+        passes choke on multi-GB literals)."""
+        return {
+            "pts_g1": self.pts_g1, "pts_g2": self.pts_g2,
+            "coef_seg": self.coef_seg, "coef_s": self.coef_s,
+            "coef_val": self.coef_val, "ntt": self.ntt_arrays,
+            "vk_alpha1": self.vk_alpha1, "vk_beta1": self.vk_beta1,
+            "vk_delta1": self.vk_delta1, "vk_beta2": self.vk_beta2,
+            "vk_delta2": self.vk_delta2,
+        }
+
+    def pipeline(self, witness, r, s, rs, tables):
+        """witness: (16, nVars) standard-form limbs; r/s/rs: (16,) packed
+        plain-integer limbs; tables: self.tables(). Returns
+        (pi_a, pi_b, pi_c) Jacobian points.
+
+        Jittable as a single XLA program; `Prover.prove` wraps it, and
+        __graft_entry__.entry exposes it to the driver.
+        """
+        n, nmax = self.domain, self.nmax
+
+        # --- witness -> a, b, c evaluations (groth16.cpp:52-96) ----------
+        w = jnp.take(witness, tables["coef_s"], axis=1)  # (16, nCoefs)
+        prod = FR.mul(w, FF.unpack(tables["coef_val"]))  # standard-form
+
+        # limb-space scatter-add: TPU-idiomatic striped-lock replacement
+        data = FF.pack(prod)                             # (nCoefs, 16)
+        acc = jax.ops.segment_sum(data, tables["coef_seg"],
+                                  num_segments=2 * n)
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((2 * n, 2), jnp.uint32)], axis=1)  # carry room
+        ab = FR.reduce_wide(FF.unpack(acc))              # (16, 2N) canonical
+        ab = ab.reshape(16, 2, n)
+        cvec = FR.mul(ab[:, 0], ab[:, 1])                # (16, N)
+
+        # --- coset FFTs + h scalars (groth16.cpp:99-166) ------------------
+        polys = jnp.concatenate([ab, cvec[:, None]], axis=1)  # (16, 3, N)
+        polys = to_odd_coset(polys, tables["ntt"], self.eta)
+        a2, b2, c2 = polys[:, 0], polys[:, 1], polys[:, 2]
+        h = FR.from_mont(FR.sub(FR.mul(a2, b2), c2))     # groth16.cpp:162
+
+        # --- scalar rows for the 5 MSMs (plain LE integers) ---------------
+        wit_row = jnp.zeros((nmax, 16), jnp.uint32
+                            ).at[:self.n_vars].set(FF.pack(witness))
+        h_row = jnp.zeros((nmax, 16), jnp.uint32).at[:n].set(FF.pack(h))
+        c_row = jnp.zeros((nmax, 16), jnp.uint32
+                          ).at[:self.n_c].set(
+                              FF.pack(witness[:, self.n_public + 1:]))
+        g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])  # (4, nmax, 16)
+
+        # --- MSMs: four G1 in one batched call + one G2 -------------------
+        if self.mesh is None:
+            g1r = MSM.msm(G1, tables["pts_g1"], g1_sc, self.c_bits,
+                          self.window_group)
+            g2r = MSM.msm(G2, tables["pts_g2"], wit_row[None], self.c_bits,
+                          self.window_group)
+        else:
+            from .parallel import pmsm
+            g1r = pmsm.msm_sharded(G1, tables["pts_g1"], g1_sc, self.c_bits,
+                                   self.mesh, self.window_group)
+            g2r = pmsm.msm_sharded(G2, tables["pts_g2"], wit_row[None],
+                                   self.c_bits, self.mesh,
+                                   self.window_group)
+        pih, pi_a, pib1, pi_c = (_pt_index(g1r, i) for i in range(4))
+        pi_b = _pt_index(g2r, 0)
+
+        # --- randomized assembly (groth16.cpp:209-246) ---------------------
+        # [r, s, rs] * delta1 in ONE ladder (batch axis 3)
+        d1m = G1.scalar_mul(_pt_broadcast(tables["vk_delta1"], 3),
+                            jnp.stack([r, s, rs], axis=0))
+        r_d1, s_d1, rs_d1 = (_pt_index(d1m, i) for i in range(3))
+        s_d2 = G2.scalar_mul(tables["vk_delta2"], s)
+
+        # [pi_a+alpha1, pib1+beta1] then [..+r_d1, ..+s_d1]: batched adds
+        ab1 = G1.add(
+            tuple(_tree_stack([x, y]) for x, y in zip(pi_a, pib1)),
+            tuple(_tree_stack([x, y]) for x, y in zip(tables["vk_alpha1"],
+                                                      tables["vk_beta1"])))
+        ab2 = G1.add(ab1,
+                     tuple(_tree_stack([x, y])
+                           for x, y in zip(r_d1, s_d1)))
+        pi_a, pib1 = _pt_index(ab2, 0), _pt_index(ab2, 1)
+        pi_b = G2.add(G2.add(pi_b, tables["vk_beta2"]), s_d2)
+
+        # [s]*pi_a and [r]*pib1 in one ladder (batch axis 2)
+        m2 = G1.scalar_mul(
+            tuple(_tree_stack([x, y]) for x, y in zip(pi_a, pib1)),
+            jnp.stack([s, r], axis=0))
+        # pi_c + pih and s_pa + r_pb batched, then the final chain
+        t1 = G1.add(
+            tuple(_tree_stack([x, y]) for x, y in zip(pi_c, pih)),
+            tuple(_tree_stack([x, y])
+                  for x, y in zip(_pt_index(m2, 0), _pt_index(m2, 1))))
+        pi_c = G1.add(_pt_index(t1, 0), _pt_index(t1, 1))
+        pi_c = G1.add(pi_c, G1.neg(rs_d1))
+        return pi_a, pi_b, pi_c
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _pipeline_jit(self, witness, r, s, rs, tables):
+        return self.pipeline(witness, r, s, rs, tables)
+
+    # -- public API ----------------------------------------------------------
+
+    def prove(self, witness_limbs: np.ndarray,
+              r: Optional[int] = None, s: Optional[int] = None
+              ) -> Tuple[Proof, list]:
+        """witness_limbs: (nVars, 16) uint32 standard-form values (the wtns
+        section-2 payload). Returns (Proof, public signal ints)."""
+        if r is None:
+            r = sample_rs()
+        if s is None:
+            s = sample_rs()
+        rs = r * s % R_FR  # toMontgomery(mont_mul(r,s)), groth16.cpp:241-242
+        t0 = time.perf_counter()
+
+        wit = np.asarray(witness_limbs, dtype=np.uint32)
+        assert wit.shape == (self.n_vars, 16)
+        witness = jnp.asarray(np.moveaxis(wit, -1, 0))   # (16, nVars)
+
+        out = self._pipeline_jit(witness,
+                                 jnp.asarray(int_to_limbs(r)),
+                                 jnp.asarray(int_to_limbs(s)),
+                                 jnp.asarray(int_to_limbs(rs)),
+                                 self.tables())
+        pi_a, pi_b, pi_c = jax.block_until_ready(out)
+        self.last_phases = {"total": time.perf_counter() - t0}
+
+        proof = Proof(
+            a=_host_affine_g1(pi_a),
+            b=_host_affine_g2(pi_b),
+            c=_host_affine_g1(pi_c),
+        )
+        publics = [_limbs_int(wit[i]) for i in range(1, self.n_public + 1)]
+        return proof, publics
+
+
+# ---------------------------------------------------------------------------
+# small tree helpers (points are nested tuples of (16, *batch) leaves)
+# ---------------------------------------------------------------------------
+
+def _tree_stack(elems):
+    if isinstance(elems[0], tuple):
+        return tuple(_tree_stack([e[k] for e in elems])
+                     for k in range(len(elems[0])))
+    return jnp.stack(elems, axis=1)  # batch after the limb axis
+
+
+def _pt_index(pt, i: int):
+    def ix(e):
+        if isinstance(e, tuple):
+            return tuple(ix(c) for c in e)
+        return e[:, i]
+    return tuple(ix(c) for c in pt)
+
+
+def _pt_broadcast(pt, k: int):
+    def bx(e):
+        if isinstance(e, tuple):
+            return tuple(bx(c) for c in e)
+        return jnp.broadcast_to(e[:, None], (16, k))
+    return tuple(bx(c) for c in pt)
+
+
+def _limbs_int(row) -> int:
+    return sum(int(v) << (16 * i) for i, v in enumerate(np.asarray(row)))
+
+
+def _host_affine_g1(p):
+    x, y, z = p
+    return PT.jac_to_affine_g1(np.asarray(FF.pack(x)), np.asarray(FF.pack(y)),
+                               np.asarray(FF.pack(z)))
+
+
+def _host_affine_g2(p):
+    x, y, z = p
+
+    def cc(e):
+        return (np.asarray(FF.pack(e[0])), np.asarray(FF.pack(e[1])))
+
+    return PT.jac_to_affine_g2(cc(x), cc(y), cc(z))

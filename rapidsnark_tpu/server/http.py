@@ -1,0 +1,92 @@
+"""HTTP front-end for the proof service.
+
+Routes mirror /root/reference/src/main_proofserver.cpp:36-40 and
+proverapi.cpp:
+    GET  /status            -> FullProver.get_status JSON
+    POST /start, /stop      -> 200 OK stubs (proverapi.cpp:27-33)
+    GET/POST /config        -> 200 OK stubs (proverapi.cpp:35-41)
+    POST /input/:circuit    -> FullProver.start_prove(body, circuit)
+    POST /cancel            -> FullProver.abort
+
+Stdlib http.server replaces pistache; like the reference endpoint
+(threads(1), maxRequestSize 128MB, main_proofserver.cpp:32) requests are
+handled serially with a 128 MB body cap.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .fullprover import FullProver
+
+MAX_REQUEST_SIZE = 128_000_000  # main_proofserver.cpp:32
+
+
+class ProverAPIHandler(BaseHTTPRequestHandler):
+    full_prover: FullProver  # set by make_server
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route through our logger
+        from ..utils.logger import get_logger
+        get_logger().debug("%s " + fmt, self.address_string(), *args)
+
+    def _send(self, code: int, body: bytes = b"",
+              ctype: str = "application/json"):
+        self.send_response(code)
+        if body:
+            self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if body:
+            self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/status":
+            payload = json.dumps(self.full_prover.get_status()).encode()
+            self._send(200, payload)
+        elif self.path == "/config":
+            self._send(200)
+        else:
+            self._send(404)
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0) or 0)
+        if length > MAX_REQUEST_SIZE:
+            self._send(413)
+            return
+        body = self.rfile.read(length).decode("utf-8", "replace")
+        if self.path.startswith("/input/"):
+            circuit = self.path[len("/input/"):]
+            if circuit not in self.full_prover.provers:
+                self._send(404, json.dumps(
+                    {"error": f"unknown circuit {circuit}"}).encode())
+                return
+            self.full_prover.start_prove(body, circuit)
+            self._send(200)
+        elif self.path == "/cancel":
+            self.full_prover.abort()
+            self._send(200)
+        elif self.path in ("/start", "/stop", "/config"):
+            self._send(200)
+        else:
+            self._send(404)
+
+
+def make_server(full_prover: FullProver, port: int,
+                host: str = "0.0.0.0") -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (ProverAPIHandler,),
+                   {"full_prover": full_prover})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(zkey_files, port: int, host: str = "0.0.0.0",
+          window_bits: Optional[int] = None, build_dir: str = "./build"):
+    from ..utils.logger import get_logger
+    log = get_logger()
+    log.info("Initializing server...")
+    fp = FullProver(zkey_files, build_dir=build_dir, window_bits=window_bits)
+    server = make_server(fp, port, host)
+    log.info("Server ready on port %d...", port)
+    server.serve_forever()

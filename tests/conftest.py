@@ -11,10 +11,16 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# Persistent compilation cache: first full test run pays the compiles,
+# later runs (and repeated shapes within one run) hit the cache.
+from rapidsnark_tpu.utils import cache as _cache  # noqa: E402
+
+_cache.enable(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 
 # The axon sitecustomize force-registers the TPU platform regardless of
 # JAX_PLATFORMS; override at the config level before any device use.

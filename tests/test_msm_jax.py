@@ -1,0 +1,88 @@
+"""Device Pippenger MSM vs the pure-Python ref oracle.
+
+Covers the equivalent of ffiasm multiMulByScalar semantics used at
+/root/reference/src/groth16.cpp:173-204: plain-LE-integer scalars,
+(0,0)-encoded infinity points, zero scalars, duplicate points.
+"""
+
+import random
+
+import numpy as np
+
+from rapidsnark_tpu.ops import msm as M
+from rapidsnark_tpu.ref import curve as refc
+from rapidsnark_tpu.ref.field import R_FR
+from rapidsnark_tpu.utils import points as PT
+from rapidsnark_tpu.utils.limbs import ints_to_limbs
+
+from test_curve_jax import _host_g1, _host_g2
+
+rng = random.Random(7)
+
+
+def _scalars(n):
+    ks = [rng.randrange(R_FR) for _ in range(n)]
+    ks[0] = 0                      # zero scalar lane
+    if n > 3:
+        ks[3] = 1                  # unit scalar
+    return ks
+
+
+def _g1_case(n):
+    pts = [refc.G1.mul(refc.G1_GEN, rng.randrange(1, R_FR)) for _ in range(n)]
+    if n > 2:
+        pts[2] = None              # infinity point lane
+    if n > 5:
+        pts[5] = pts[4]            # duplicate point
+    ks = _scalars(n)
+    arr = np.stack([PT.g1_affine_to_mont_limbs(p) for p in pts])
+    return pts, ks, arr
+
+
+def _g2_case(n):
+    pts = [refc.G2.mul(refc.G2_GEN, rng.randrange(1, R_FR)) for _ in range(n)]
+    if n > 2:
+        pts[2] = None
+    ks = _scalars(n)
+    arr = np.stack([PT.g2_affine_to_mont_limbs(p) for p in pts])
+    return pts, ks, arr
+
+
+def test_msm_g1_vs_ref():
+    n = 21
+    pts, ks, arr = _g1_case(n)
+    dev_pts = M.prepare_g1(arr)
+    sc = M.pad_scalars(ints_to_limbs(ks), M.pad_len(n))
+    out = M.msm_g1(dev_pts, sc, 4)
+    got = _host_g1(out)
+    expect = refc.G1.msm(pts, ks)
+    assert refc.G1.eq(got, expect)
+
+
+def test_msm_g1_tiny():
+    # same (shape, c) as above -> shares the compiled executable
+    pts, ks, arr = _g1_case(2)
+    dev_pts = M.prepare_g1(arr)
+    sc = M.pad_scalars(ints_to_limbs(ks), M.pad_len(2))
+    got = _host_g1(M.msm_g1(dev_pts, sc, 4))
+    assert refc.G1.eq(got, refc.G1.msm(pts, ks))
+
+
+def test_msm_g2_vs_ref():
+    n = 9
+    pts, ks, arr = _g2_case(n)
+    dev_pts = M.prepare_g2(arr)
+    sc = M.pad_scalars(ints_to_limbs(ks), M.pad_len(n))
+    got = _host_g2(M.msm_g2(dev_pts, sc, 4))
+    expect = refc.G2.msm(pts, ks)
+    assert refc.G2.eq(got, expect)
+
+
+def test_window_digits_reconstruct():
+    import jax.numpy as jnp
+    ks = [rng.randrange(1 << 256) for _ in range(5)]
+    for c in (4, 11, 16):
+        d = np.asarray(M.window_digits(jnp.asarray(ints_to_limbs(ks)), c))
+        for i, k in enumerate(ks):
+            got = sum(int(d[w, i]) << (w * c) for w in range(d.shape[0]))
+            assert got == k, f"c={c}"
