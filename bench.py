@@ -59,12 +59,19 @@ def bench_msm(log_n: int, reps: int, c: int | None):
         M.pad_len(n))
     c = c or M.best_window_bits(n)
 
-    out = M.msm_g1(pts, scalars, c)          # compile + warm
-    jax.block_until_ready(out)
+    import numpy as _np
+
+    def run():
+        out = M.msm_g1(pts, scalars, c)
+        # materialize: on tunneled backends block_until_ready can return
+        # before execution finishes; host fetch is the ground truth
+        return [_np.asarray(leaf) for leaf in jax.tree.leaves(out)]
+
+    run()                                     # compile + warm
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(M.msm_g1(pts, scalars, c))
+        run()
         times.append(time.perf_counter() - t0)
     dt = min(times)
     return n / dt, dt, c

@@ -233,13 +233,18 @@ def _combine_windows(curve: CurveOps, wpts, nwin: int, c: int):
 
 
 def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
-        window_group: int = 4):
+        window_group: int = 4, combine: bool = True):
     """Multi-scalar multiplication, batched over leading axes.
 
     pts: Jacobian point pytree, leaves (16, *batch, n) (already padded so
     that n % _CHUNK == 0, with infinity padding). scalars:
     (*batch, n, 16) packed u32 plain-integer limbs (zero-padded rows for
-    padding points). Returns a Jacobian point with batch shape (*batch,).
+    padding points). Returns a Jacobian point with batch shape (*batch,),
+    or — with combine=False — the per-window totals (leaves
+    (16, W, *batch)) for the ~256-doubling Horner combine to run on the
+    HOST: W*B points are a few KB, and host-side exact EC math beats
+    ~2*256 sequential single-lane device steps by orders of magnitude
+    (see prover.combine_windows_host).
 
     Independent MSMs of equal length should ride the batch axes: the
     prover fuses its four G1 MSMs (groth16.cpp:173-204) into one call,
@@ -260,6 +265,8 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     _, wg = jax.lax.scan(step, None, dgroups)  # leaves (W/G, 16, G, *batch)
     wpts = _pt_map(
         wg, lambda a: jnp.moveaxis(a, 0, 1).reshape((16, nwin) + bshape))
+    if not combine:
+        return wpts
     return _combine_windows(curve, wpts, nwin, c)
 
 

@@ -48,11 +48,16 @@ def pad_len_sharded(n: int, n_devices: int) -> int:
 
 
 def msm_sharded(curve: CurveOps, pts, scalars, c: int, mesh,
-                window_group: int = 4):
+                window_group: int = 4, combine: bool = True):
     """MSM with points/scalars sharded on n across mesh axis "shard".
 
     pts leaves (16, *batch, n), scalars (*batch, n, 16); n divisible by
-    D * _CHUNK. Returns a replicated Jacobian point, batch (*batch,).
+    D * _CHUNK. Each device runs the local sort+scan MSM to per-window
+    totals; the D partial window points combine with one all_gather +
+    running-sum pass (window sums are plain group sums, so they add
+    across shards). Returns replicated: the combined Jacobian point
+    (batch (*batch,)), or with combine=False the per-window totals
+    (leaves (16, W, *batch)) for the host-side Horner combine.
     """
     from jax.experimental.shard_map import shard_map
 
@@ -64,13 +69,18 @@ def msm_sharded(curve: CurveOps, pts, scalars, c: int, mesh,
     nd = mesh.shape[AXIS]
 
     def body(local_pts, local_sc):
-        part = MSM.msm(curve, local_pts, local_sc, c, window_group)
-        # leaves (16, *batch) -> gather device partials on a new last axis
+        part = MSM.msm(curve, local_pts, local_sc, c, window_group,
+                       combine=False)  # leaves (16, W, *batch)
+        # gather device partials on a new last axis and group-reduce
         gath = _pt_map(part,
                        lambda a: jnp.moveaxis(
                            jax.lax.all_gather(a, AXIS), 0, -1))
         total = _hillis_prefix(curve, gath, nd)
-        return _pt_map(total, lambda a: a[..., -1])
+        wpts = _pt_map(total, lambda a: a[..., -1])
+        if not combine:
+            return wpts
+        nwin = -(-MSM.SCALAR_BITS // c)
+        return MSM._combine_windows(curve, wpts, nwin, c)
 
     out_specs = jax.tree.map(lambda _: P(), pts)
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,

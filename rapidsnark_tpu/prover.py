@@ -118,20 +118,14 @@ class Prover:
             self.pts_g2 = jax.tree.map(
                 lambda a: jax.device_put(a, sh), self.pts_g2)
 
-        # --- vk points (single Jacobian points on device) ---------------
-        def one_g1(limbs):
-            return G1.from_affine(FF.unpack(jnp.asarray(limbs[0])),
-                                  FF.unpack(jnp.asarray(limbs[1])))
-
-        def one_g2(limbs):
-            cc = [FF.unpack(jnp.asarray(limbs[k])) for k in range(4)]
-            return G2.from_affine((cc[0], cc[1]), (cc[2], cc[3]))
-
-        self.vk_alpha1 = one_g1(zkey.vk_alpha1)
-        self.vk_beta1 = one_g1(zkey.vk_beta1)
-        self.vk_delta1 = one_g1(zkey.vk_delta1)
-        self.vk_beta2 = one_g2(zkey.vk_beta2)
-        self.vk_delta2 = one_g2(zkey.vk_delta2)
+        # --- vk points as host ref affine (assembly runs host-side) ------
+        self.ref_vk = {
+            "alpha1": _ref_g1_from_limbs(zkey.vk_alpha1),
+            "beta1": _ref_g1_from_limbs(zkey.vk_beta1),
+            "delta1": _ref_g1_from_limbs(zkey.vk_delta1),
+            "beta2": _ref_g2_from_limbs(zkey.vk_beta2),
+            "delta2": _ref_g2_from_limbs(zkey.vk_delta2),
+        }
 
         # --- coefficient table (zkey section 4) --------------------------
         n = self.domain
@@ -178,15 +172,17 @@ class Prover:
             "pts_g1": self.pts_g1, "pts_g2": self.pts_g2,
             "coef_seg": self.coef_seg, "coef_s": self.coef_s,
             "coef_val": self.coef_val, "ntt": self.ntt_arrays,
-            "vk_alpha1": self.vk_alpha1, "vk_beta1": self.vk_beta1,
-            "vk_delta1": self.vk_delta1, "vk_beta2": self.vk_beta2,
-            "vk_delta2": self.vk_delta2,
         }
 
-    def pipeline(self, witness, r, s, rs, tables):
-        """witness: (16, nVars) standard-form limbs; r/s/rs: (16,) packed
-        plain-integer limbs; tables: self.tables(). Returns
-        (pi_a, pi_b, pi_c) Jacobian points.
+    def pipeline(self, witness, tables):
+        """witness: (16, nVars) standard-form limbs; tables:
+        self.tables(). Returns (g1_windows, g2_windows): per-window
+        Pippenger totals, leaves (16, W, 4) / (16, W, 1) — W*5 points.
+
+        The ~256-doubling window combine and the randomized assembly
+        (groth16.cpp:209-246) run on the HOST afterwards (see prove):
+        they are O(W) exact EC ops on single points, which as device code
+        would cost thousands of sequential single-lane steps.
 
         Jittable as a single XLA program; `Prover.prove` wraps it, and
         __graft_entry__.entry exposes it to the driver.
@@ -224,54 +220,23 @@ class Prover:
 
         # --- MSMs: four G1 in one batched call + one G2 -------------------
         if self.mesh is None:
-            g1r = MSM.msm(G1, tables["pts_g1"], g1_sc, self.c_bits,
-                          self.window_group)
-            g2r = MSM.msm(G2, tables["pts_g2"], wit_row[None], self.c_bits,
-                          self.window_group)
+            g1w = MSM.msm(G1, tables["pts_g1"], g1_sc, self.c_bits,
+                          self.window_group, combine=False)
+            g2w = MSM.msm(G2, tables["pts_g2"], wit_row[None], self.c_bits,
+                          self.window_group, combine=False)
         else:
             from .parallel import pmsm
-            g1r = pmsm.msm_sharded(G1, tables["pts_g1"], g1_sc, self.c_bits,
-                                   self.mesh, self.window_group)
-            g2r = pmsm.msm_sharded(G2, tables["pts_g2"], wit_row[None],
+            g1w = pmsm.msm_sharded(G1, tables["pts_g1"], g1_sc, self.c_bits,
+                                   self.mesh, self.window_group,
+                                   combine=False)
+            g2w = pmsm.msm_sharded(G2, tables["pts_g2"], wit_row[None],
                                    self.c_bits, self.mesh,
-                                   self.window_group)
-        pih, pi_a, pib1, pi_c = (_pt_index(g1r, i) for i in range(4))
-        pi_b = _pt_index(g2r, 0)
-
-        # --- randomized assembly (groth16.cpp:209-246) ---------------------
-        # [r, s, rs] * delta1 in ONE ladder (batch axis 3)
-        d1m = G1.scalar_mul(_pt_broadcast(tables["vk_delta1"], 3),
-                            jnp.stack([r, s, rs], axis=0))
-        r_d1, s_d1, rs_d1 = (_pt_index(d1m, i) for i in range(3))
-        s_d2 = G2.scalar_mul(tables["vk_delta2"], s)
-
-        # [pi_a+alpha1, pib1+beta1] then [..+r_d1, ..+s_d1]: batched adds
-        ab1 = G1.add(
-            tuple(_tree_stack([x, y]) for x, y in zip(pi_a, pib1)),
-            tuple(_tree_stack([x, y]) for x, y in zip(tables["vk_alpha1"],
-                                                      tables["vk_beta1"])))
-        ab2 = G1.add(ab1,
-                     tuple(_tree_stack([x, y])
-                           for x, y in zip(r_d1, s_d1)))
-        pi_a, pib1 = _pt_index(ab2, 0), _pt_index(ab2, 1)
-        pi_b = G2.add(G2.add(pi_b, tables["vk_beta2"]), s_d2)
-
-        # [s]*pi_a and [r]*pib1 in one ladder (batch axis 2)
-        m2 = G1.scalar_mul(
-            tuple(_tree_stack([x, y]) for x, y in zip(pi_a, pib1)),
-            jnp.stack([s, r], axis=0))
-        # pi_c + pih and s_pa + r_pb batched, then the final chain
-        t1 = G1.add(
-            tuple(_tree_stack([x, y]) for x, y in zip(pi_c, pih)),
-            tuple(_tree_stack([x, y])
-                  for x, y in zip(_pt_index(m2, 0), _pt_index(m2, 1))))
-        pi_c = G1.add(_pt_index(t1, 0), _pt_index(t1, 1))
-        pi_c = G1.add(pi_c, G1.neg(rs_d1))
-        return pi_a, pi_b, pi_c
+                                   self.window_group, combine=False)
+        return g1w, g2w
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _pipeline_jit(self, witness, r, s, rs, tables):
-        return self.pipeline(witness, r, s, rs, tables)
+    def _pipeline_jit(self, witness, tables):
+        return self.pipeline(witness, tables)
 
     # -- public API ----------------------------------------------------------
 
@@ -291,64 +256,89 @@ class Prover:
         assert wit.shape == (self.n_vars, 16)
         witness = jnp.asarray(np.moveaxis(wit, -1, 0))   # (16, nVars)
 
-        out = self._pipeline_jit(witness,
-                                 jnp.asarray(int_to_limbs(r)),
-                                 jnp.asarray(int_to_limbs(s)),
-                                 jnp.asarray(int_to_limbs(rs)),
-                                 self.tables())
-        pi_a, pi_b, pi_c = jax.block_until_ready(out)
-        self.last_phases = {"total": time.perf_counter() - t0}
+        g1w, g2w = self._pipeline_jit(witness, self.tables())
+        # materialize (block_until_ready can lie on tunneled backends)
+        g1w = [np.asarray(leaf) for leaf in g1w]         # 3 x (16, W, 4)
+        g2w = jax.tree.map(np.asarray, g2w)
+        self.last_phases = {"device": time.perf_counter() - t0}
 
-        proof = Proof(
-            a=_host_affine_g1(pi_a),
-            b=_host_affine_g2(pi_b),
-            c=_host_affine_g1(pi_c),
-        )
+        # --- host: window combine + randomized assembly -------------------
+        t1 = time.perf_counter()
+        from .ref.curve import G1 as RG1, G2 as RG2
+        x, y, z = g1w
+        nwin = x.shape[1]
+
+        def g1_at(w, b):
+            return PT.jac_to_affine_g1(x[:, w, b], y[:, w, b], z[:, w, b])
+
+        pih = _combine_host(RG1, [g1_at(w, 0) for w in range(nwin)],
+                            self.c_bits)
+        pi_a = _combine_host(RG1, [g1_at(w, 1) for w in range(nwin)],
+                             self.c_bits)
+        pib1 = _combine_host(RG1, [g1_at(w, 2) for w in range(nwin)],
+                             self.c_bits)
+        pi_c = _combine_host(RG1, [g1_at(w, 3) for w in range(nwin)],
+                             self.c_bits)
+        x2, y2, z2 = g2w
+
+        def g2_at(w):
+            cc = lambda e: (e[0][:, w, 0], e[1][:, w, 0])  # noqa: E731
+            return PT.jac_to_affine_g2(cc(x2), cc(y2), cc(z2))
+
+        pi_b = _combine_host(RG2, [g2_at(w) for w in range(nwin)],
+                             self.c_bits)
+
+        # randomized assembly, exactly groth16.cpp:209-246 (= ref prove)
+        pi_a = RG1.add(pi_a, self.ref_vk["alpha1"])
+        pi_a = RG1.add(pi_a, RG1.mul(self.ref_vk["delta1"], r))
+        pi_b = RG2.add(pi_b, self.ref_vk["beta2"])
+        pi_b = RG2.add(pi_b, RG2.mul(self.ref_vk["delta2"], s))
+        pib1 = RG1.add(pib1, self.ref_vk["beta1"])
+        pib1 = RG1.add(pib1, RG1.mul(self.ref_vk["delta1"], s))
+        pi_c = RG1.add(pi_c, pih)
+        pi_c = RG1.add(pi_c, RG1.mul(pi_a, s))
+        pi_c = RG1.add(pi_c, RG1.mul(pib1, r))
+        pi_c = RG1.add(pi_c, RG1.neg(RG1.mul(self.ref_vk["delta1"], rs)))
+
+        self.last_phases["host"] = time.perf_counter() - t1
+        self.last_phases["total"] = time.perf_counter() - t0
+
+        proof = Proof(a=pi_a, b=pi_b, c=pi_c)
         publics = [_limbs_int(wit[i]) for i in range(1, self.n_public + 1)]
         return proof, publics
 
 
 # ---------------------------------------------------------------------------
-# small tree helpers (points are nested tuples of (16, *batch) leaves)
+# host-side helpers
 # ---------------------------------------------------------------------------
-
-def _tree_stack(elems):
-    if isinstance(elems[0], tuple):
-        return tuple(_tree_stack([e[k] for e in elems])
-                     for k in range(len(elems[0])))
-    return jnp.stack(elems, axis=1)  # batch after the limb axis
-
-
-def _pt_index(pt, i: int):
-    def ix(e):
-        if isinstance(e, tuple):
-            return tuple(ix(c) for c in e)
-        return e[:, i]
-    return tuple(ix(c) for c in pt)
-
-
-def _pt_broadcast(pt, k: int):
-    def bx(e):
-        if isinstance(e, tuple):
-            return tuple(bx(c) for c in e)
-        return jnp.broadcast_to(e[:, None], (16, k))
-    return tuple(bx(c) for c in pt)
-
 
 def _limbs_int(row) -> int:
     return sum(int(v) << (16 * i) for i, v in enumerate(np.asarray(row)))
 
 
-def _host_affine_g1(p):
-    x, y, z = p
-    return PT.jac_to_affine_g1(np.asarray(FF.pack(x)), np.asarray(FF.pack(y)),
-                               np.asarray(FF.pack(z)))
+def _ref_g1_from_limbs(limbs):
+    """(2, 16) Montgomery affine limbs -> ref affine int point / None."""
+    from .ref.field import FQ_CTX
+    from .utils.limbs import limbs_to_ints
+    xi, yi = (FQ_CTX.from_mont(v) for v in limbs_to_ints(limbs))
+    return None if xi == 0 and yi == 0 else (xi, yi)
 
 
-def _host_affine_g2(p):
-    x, y, z = p
+def _ref_g2_from_limbs(limbs):
+    from .ref.field import FQ_CTX
+    from .utils.limbs import limbs_to_ints
+    x0, x1, y0, y1 = (FQ_CTX.from_mont(v) for v in limbs_to_ints(limbs))
+    if x0 == x1 == y0 == y1 == 0:
+        return None
+    return ((x0, x1), (y0, y1))
 
-    def cc(e):
-        return (np.asarray(FF.pack(e[0])), np.asarray(FF.pack(e[1])))
 
-    return PT.jac_to_affine_g2(cc(x), cc(y), cc(z))
+def _combine_host(curve_ref, window_points, c: int):
+    """Horner combine of per-window MSM totals: sum_w 2^(wc) W_w.
+    ~256 exact EC ops on the host (groth16-scale: microseconds each)."""
+    acc = None
+    for wp in reversed(window_points):
+        for _ in range(c):
+            acc = curve_ref.double(acc)
+        acc = curve_ref.add(acc, wp)
+    return acc

@@ -1,0 +1,52 @@
+"""Sharded MSM over a virtual 8-device mesh vs the single-device path.
+
+The TPU-world analogue of multi-node testing without a cluster
+(SURVEY.md §4): host-platform device virtualization via
+xla_force_host_platform_device_count (set in conftest).
+"""
+
+import random
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+from rapidsnark_tpu.ops import msm as M
+from rapidsnark_tpu.parallel import pmsm
+from rapidsnark_tpu.ref import curve as refc
+from rapidsnark_tpu.ref.field import R_FR
+from rapidsnark_tpu.utils import points as PT
+from rapidsnark_tpu.utils.limbs import ints_to_limbs
+
+from test_curve_jax import _host_g1
+
+rng = random.Random(31)
+
+
+def test_msm_sharded_matches_ref():
+    ndev = len(jax.devices())
+    assert ndev == 8, "conftest should provide 8 virtual devices"
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+
+    n = 40
+    npad = pmsm.pad_len_sharded(n, ndev)
+    pts = [refc.G1.mul(refc.G1_GEN, rng.randrange(1, R_FR))
+           for _ in range(n)]
+    pts[1] = None
+    ks = [rng.randrange(R_FR) for _ in range(n)]
+    ks[0] = 0
+
+    arr = np.zeros((npad, 2, 16), np.uint32)
+    arr[:n] = np.stack([PT.g1_affine_to_mont_limbs(p) for p in pts])
+    x = jax.numpy.asarray(np.moveaxis(arr[:, 0], -1, 0))
+    y = jax.numpy.asarray(np.moveaxis(arr[:, 1], -1, 0))
+    from rapidsnark_tpu.ops.curve import G1
+    dev_pts = G1.from_affine(x, y)
+    sc = M.pad_scalars(ints_to_limbs(ks), npad)
+
+    out = jax.jit(
+        lambda p, s: pmsm.msm_sharded(G1, p, s, 4, mesh, combine=True)
+    )(dev_pts, sc)
+    got = _host_g1(out)
+    expect = refc.G1.msm(pts, ks)
+    assert refc.G1.eq(got, expect)
