@@ -223,6 +223,55 @@ class CurveOps:
         out = self.select(q_inf & (~p_inf), p, out)
         return out
 
+    def add_mixed(self, p: Point, q) -> Point:
+        """P + Q with Q AFFINE ((x2, y2); (0,0) encodes infinity) —
+        z2 = 1 saves 5 of the general adder's 23 field muls, and affine
+        columns halve the gather traffic of the MSM prefix scan.
+        Complete like `add`: tangent/inverse/infinity lanes select out.
+        """
+        f = self.f
+        x1, y1, z1 = p
+        x2, y2 = q
+
+        # stage 1: squares + tangent-path products
+        z1z1, ta, tb, tyz = f.mul_many(
+            [(z1, z1), (x1, x1), (y1, y1), (y1, z1)])
+        e1 = f.add(x1, tb)
+        te = f.add(f.double(ta), ta)          # 3*x1^2
+        # stage 2
+        u2, z1c, tc, txb2, te2 = f.mul_many([
+            (x2, z1z1), (z1z1, z1), (tb, tb), (e1, e1), (te, te)])
+        # stage 3
+        (s2,) = f.mul_many([(y2, z1c)])
+        h = f.sub(u2, x1)                     # u1 = x1 (z2 = 1)
+        r = f.sub(s2, y1)                     # s1 = y1
+        td = f.double(f.sub(f.sub(txb2, ta), tc))
+        tx3 = f.sub(te2, f.double(td))
+        # stage 4
+        hh, rsq, ted = f.mul_many([(h, h), (r, r), (te, f.sub(td, tx3))])
+        ty3 = f.sub(ted, f.double(f.double(f.double(tc))))
+        tz3 = f.double(tyz)
+        # stage 5
+        hhh, v, z3 = f.mul_many([(h, hh), (x1, hh), (z1, h)])
+        x3 = f.sub(f.sub(rsq, hhh), f.double(v))
+        # stage 6
+        w1, w2 = f.mul_many([(r, f.sub(v, x3)), (y1, hhh)])
+        y3 = f.sub(w1, w2)
+        out = (x3, y3, z3)
+
+        h_zero = f.is_zero(h)
+        r_zero = f.is_zero(r)
+        p_inf = f.is_zero(z1)
+        q_inf = f.is_zero(x2) & f.is_zero(y2)
+        both = (~p_inf) & (~q_inf)
+
+        shape = _shape_of(x1)
+        out = self.select(both & h_zero & r_zero, (tx3, ty3, tz3), out)
+        out = self.select(both & h_zero & (~r_zero), self.inf(shape), out)
+        out = self.select(p_inf, self.from_affine(x2, y2), out)
+        out = self.select(q_inf & (~p_inf), p, out)
+        return out
+
     def scalar_mul(self, p: Point, scalar_packed, bits: int = 256) -> Point:
         """[k]P with k as a (..., 16) packed uint32 limb array (plain
         integer, not reduced — matching mulByScalar byte semantics,

@@ -38,6 +38,27 @@ MASK = (1 << LIMB_BITS) - 1
 
 Elem = jnp.ndarray  # (16, *batch) uint32
 
+# When True, `mul` unrolls its 16 CIOS steps instead of lax.scan —
+# required inside Pallas kernel bodies (ops/fused.py), where scan
+# carries would spill to memory.
+_FORCE_UNROLL = False
+
+
+def force_unroll():
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        global _FORCE_UNROLL
+        prev = _FORCE_UNROLL
+        _FORCE_UNROLL = True
+        try:
+            yield
+        finally:
+            _FORCE_UNROLL = prev
+
+    return ctx()
+
 
 def unpack(arr) -> Elem:
     """(..., 16) uint32 (API/disk layout) -> (16, ...) internal layout."""
@@ -59,16 +80,19 @@ def _resolve_ones(base, c):
 
     base: limbs <= MASK; c[j] in {0,1}: carry generated OUT of limb j.
     Kogge-Stone generate/propagate prefix in log2(16) = 4 rounds.
-    Returns (canonical limbs, carry_out_of_top: bool batch array).
+    Masks stay uint32 0/1 (Mosaic cannot concatenate i1 vectors inside
+    Pallas kernels). Returns (canonical limbs, carry_out_of_top: bool).
     """
-    g = c.astype(jnp.bool_)
-    p = base == MASK
+    g = c  # uint32 0/1
+    p = (base == MASK).astype(jnp.uint32)
     for sh in (1, 2, 4, 8):
         g = g | (p & _shift_down(g, sh))
         p = p & _shift_down(p, sh)
     carry_in = _shift_down(g, 1)
-    out = (base + carry_in.astype(jnp.uint32)) & MASK
-    return out, g[-1]
+    out = (base + carry_in) & MASK
+    # static top-limb index (g[-1] would lower to dynamic_slice, which
+    # Mosaic does not support inside Pallas kernels)
+    return out, g[g.shape[0] - 1] != 0
 
 
 def _split_resolve(s):
@@ -100,25 +124,44 @@ class FieldOps:
         self.r1 = (1 << 256) % modulus
         self.r2 = (1 << 512) % modulus
         self.rinv = pow(1 << 256, -1, modulus)
-        import numpy as np
-        self._p_np = np.array(self.p_int, dtype=np.uint32)
+        self._p_np = list(self.p_int)
         # two's-complement constant for >= p test / subtract: (MASK^p) + 1
         notp = [(MASK ^ v) for v in self.p_int]
         notp[0] += 1  # p is odd, so no limb overflow
-        self._notp1_np = np.array(notp, dtype=np.uint32)
+        self._notp1_np = notp
 
     # -- constants ----------------------------------------------------------
-    def _c(self, np_vec, ndim: int):
-        return jnp.asarray(np_vec).reshape((len(np_vec),) + (1,) * (ndim - 1))
+    # Limb constants are built from INLINE SCALARS (stack of immediates),
+    # never from materialized arrays: Pallas kernel bodies reject captured
+    # array constants, and XLA constant-folds the stack anyway.
+    @staticmethod
+    def _c(vals, ndim: int):
+        # built at the target rank directly: Mosaic cannot shape-cast a
+        # 1D vector constant up to (k, 1, 1)
+        one = (1,) * (ndim - 1)
+        parts = [jnp.full((1,) + one, jnp.uint32(x)) for x in vals]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
+    @staticmethod
+    def _limb_add_const(x: Elem, vals) -> Elem:
+        """x + limb-vector constant. In kernel mode, per-limb scalar
+        splats (Mosaic cannot broadcast a (k,1,1) constant over sublanes
+        AND lanes); otherwise one broadcast add."""
+        if _FORCE_UNROLL:
+            return jnp.concatenate(
+                [x[j:j + 1] + jnp.uint32(v) for j, v in enumerate(vals)],
+                axis=0)
+        return x + FieldOps._c(vals, x.ndim)
 
     def const(self, value: int, shape=()) -> Elem:
         value %= self.modulus
-        import numpy as np
-        v = np.array([(value >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS)],
-                     dtype=np.uint32)
+        limbs = [(value >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS)]
+        if _FORCE_UNROLL:
+            return jnp.concatenate(
+                [jnp.full((1,) + tuple(shape), jnp.uint32(v))
+                 for v in limbs], axis=0)
         return jnp.broadcast_to(
-            jnp.asarray(v).reshape((NLIMBS,) + (1,) * len(shape)),
-            (NLIMBS,) + tuple(shape))
+            self._c(limbs, 1 + len(shape)), (NLIMBS,) + tuple(shape))
 
     def zero(self, shape=()) -> Elem:
         return jnp.zeros((NLIMBS,) + tuple(shape), dtype=jnp.uint32)
@@ -134,16 +177,18 @@ class FieldOps:
 
     @staticmethod
     def is_zero(a: Elem):
-        return jnp.bitwise_or.reduce(a, axis=0) == 0
+        # compare-then-reduce (a bool all-reduce): the uint or-reduce +
+        # compare form trips a Mosaic verifier bug inside Pallas kernels
+        return jnp.all(a == 0, axis=0)
 
     @staticmethod
     def eq(a: Elem, b: Elem):
-        return jnp.bitwise_or.reduce(a ^ b, axis=0) == 0
+        return jnp.all(a == b, axis=0)
 
     # -- modular ring ops ------------------------------------------------------
     def _cond_sub_p(self, s: Elem) -> Elem:
         """s < 2p, canonical limbs -> s mod p."""
-        t = s + self._c(self._notp1_np, s.ndim)
+        t = self._limb_add_const(s, self._notp1_np)
         red, ge = _resolve_ones(t & MASK, t >> LIMB_BITS)
         return jnp.where(ge[None], red, s)
 
@@ -154,9 +199,9 @@ class FieldOps:
     def sub(self, a: Elem, b: Elem) -> Elem:
         # a - b via two's complement; add p back on borrow
         t = a + (jnp.uint32(MASK) ^ b)
-        t = t.at[0].add(1)
+        t = jnp.concatenate([t[0:1] + 1, t[1:]], axis=0)
         d, ok = _resolve_ones(t & MASK, t >> LIMB_BITS)
-        e, _ = _split_resolve(d + self._c(self._p_np, d.ndim))
+        e, _ = _split_resolve(self._limb_add_const(d, self._p_np))
         return jnp.where(ok[None], d, e)
 
     def neg(self, a: Elem) -> Elem:
@@ -198,7 +243,12 @@ class FieldOps:
             m = (cur * n0inv) & MASK
             q0 = m * p0
             carry = ((cur + (q0 & MASK)) >> LIMB_BITS) + (q0 >> LIMB_BITS)
-            q = m[None] * p_col                  # (15,*batch): m * p[1..15]
+            if _FORCE_UNROLL:  # per-limb scalar splats for Mosaic
+                q = jnp.concatenate(
+                    [(m * jnp.uint32(v))[None] for v in self.p_int[1:]],
+                    axis=0)
+            else:
+                q = m[None] * p_col              # (15,*batch): m * p[1..15]
             mc = jnp.concatenate(
                 [q[0:1] & MASK,
                  (q[1:] & MASK) + (q[:-1] >> LIMB_BITS),
@@ -208,7 +258,7 @@ class FieldOps:
 
         cols0 = jnp.zeros((NLIMBS + 1,) + batch, dtype=jnp.uint32)
         carry0 = jnp.zeros(batch, dtype=jnp.uint32)
-        if unroll:
+        if unroll or _FORCE_UNROLL:
             state = (cols0, carry0)
             for i in range(NLIMBS):
                 state, _ = step(state, a[i])

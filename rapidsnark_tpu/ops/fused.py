@@ -1,0 +1,137 @@
+"""Pallas-fused curve arithmetic: the complete Jacobian adder as ONE
+TPU kernel.
+
+Why: the XLA path materializes every intermediate of the ~23-mul adder
+formula to HBM (measured: mont_mul throughput saturates an order of
+magnitude below the VPU because each CIOS step round-trips memory). A
+Pallas kernel reads the six input coordinates once, runs the whole
+formula in VMEM/registers (muls fully unrolled — no scan state spills),
+and writes three coordinates — the arithmetic-intensity fix that makes
+the adder compute-bound.
+
+The kernel body REUSES ops/field.py and ops/curve.py verbatim (they are
+written to be Pallas-compatible: elementwise ops + static slices on a
+(16, lanes) layout, limb axis on sublanes, batch on lanes).
+
+Enable/disable with RSTPU_PALLAS=1/0 (default: on for TPU backends, off
+on CPU where interpret mode would be slower than plain XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BLOCK = 1024  # lanes per kernel instance; ~8 MB of live (16,BLOCK) u32
+# temporaries at the formula's peak fits the 16 MB VMEM scoped limit
+
+
+@functools.cache
+def enabled() -> bool:
+    env = os.environ.get("RSTPU_PALLAS")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() not in ("cpu",)
+
+
+def _flatten_pt(pt):
+    """Point pytree -> (leaves, treedef-like rebuild fn)."""
+    leaves = []
+
+    def walk(e):
+        if isinstance(e, tuple):
+            return tuple(walk(c) for c in e)
+        leaves.append(e)
+        return len(leaves) - 1
+
+    idx_tree = tuple(walk(c) for c in pt)
+
+    def rebuild(vals):
+        def go(t):
+            if isinstance(t, tuple):
+                return tuple(go(c) for c in t)
+            return vals[t]
+        return tuple(go(c) for c in idx_tree)
+
+    return leaves, rebuild
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _binary(fn, fallback, p, q, n_out_leaves: int):
+    """Fuse a binary point op into one Pallas kernel over lane blocks.
+
+    p, q: point pytrees with (16, *batch) u32 leaves (batch shapes
+    equal). The kernel reads the input leaves once, evaluates `fn` fully
+    in VMEM (field muls unrolled), and writes the output leaves —
+    removing the HBM round-trips between the formula's ~20 field ops.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_leaves, rebuild_p = _flatten_pt(p)
+    q_leaves, rebuild_q = _flatten_pt(q)
+    bshape = p_leaves[0].shape[1:]
+    n = int(np.prod(bshape)) if bshape else 1
+    if not enabled() or n < 256:
+        return fallback(p, q)
+
+    np_, nq = len(p_leaves), len(q_leaves)
+    # Fq2 (2x leaves) doubles the live temporaries: halve the block
+    blk = min(BLOCK if np_ <= 3 else BLOCK // 2, _round_up(n, 128))
+    npad = _round_up(n, blk)
+
+    def prep(a):
+        a = a.reshape(16, n)
+        if npad != n:
+            a = jnp.concatenate(
+                [a, jnp.zeros((16, npad - n), jnp.uint32)], axis=1)
+        return a
+
+    flat = [prep(a) for a in p_leaves + q_leaves]
+
+    def kernel(*refs):
+        ins = refs[:np_ + nq]
+        outs = refs[np_ + nq:]
+        vals = [r[:] for r in ins]
+        pp = rebuild_p(vals[:np_])
+        qq = rebuild_q(vals[np_:])
+        from . import field as FF
+        with FF.force_unroll():   # no lax.scan state inside the kernel
+            rr = fn(pp, qq)
+        r_leaves, _ = _flatten_pt(rr)
+        for o, v in zip(outs, r_leaves):
+            o[:] = v
+
+    spec = pl.BlockSpec((16, blk), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // blk,),
+        in_specs=[spec] * (np_ + nq),
+        out_specs=[spec] * n_out_leaves,
+        out_shape=[jax.ShapeDtypeStruct((16, npad),
+                                        jnp.uint32)] * n_out_leaves,
+        interpret=jax.default_backend() == "cpu",  # RSTPU_PALLAS=1 on CPU
+    )(*flat)
+    out = [a[:, :n].reshape((16,) + bshape) for a in out]
+    return rebuild_p(out)
+
+
+def add(curve, p, q):
+    """Complete Jacobian add, fused. Falls back below 256 lanes."""
+    nl = len(_flatten_pt(p)[0])
+    return _binary(curve.add, curve.add, p, q, nl)
+
+
+def add_mixed(curve, p, q):
+    """Jacobian + affine complete add, fused (z2 = 1 variant)."""
+    nl = len(_flatten_pt(p)[0])
+    return _binary(curve.add_mixed, curve.add_mixed, p, q, nl)

@@ -57,6 +57,18 @@ def _pt_map(pt, fn):
     return tuple(_map_leaves(c, fn) for c in pt)
 
 
+def _add(curve: CurveOps, p, q):
+    """Complete add through the fused Pallas kernel when enabled."""
+    from . import fused
+    return fused.add(curve, p, q)
+
+
+def _add_mixed(curve: CurveOps, p, q):
+    """Jacobian + affine add through the fused Pallas kernel."""
+    from . import fused
+    return fused.add_mixed(curve, p, q)
+
+
 def _pt_take_last(pt, idx):
     """Gather along the last (lane) axis with a batch-shaped index array."""
     def g(a):
@@ -81,7 +93,7 @@ def _hillis_prefix(curve: CurveOps, pt, size: int):
     def body(i, x):
         sh = jnp.int32(1) << i
         rolled = _pt_map(x, lambda a: jnp.roll(a, sh, axis=-1))
-        summed = curve.add(x, rolled)
+        summed = _add(curve, x, rolled)
         return curve.select(lane < sh, x, summed)
 
     return jax.lax.fori_loop(0, steps, body, pt) if steps else pt
@@ -90,11 +102,13 @@ def _hillis_prefix(curve: CurveOps, pt, size: int):
 def _chunked_prefix(curve: CurveOps, pt, batch: Tuple[int, ...], n: int):
     """All-positions inclusive prefix group sums along the last axis.
 
-    pt leaves: (16, *batch, n) with n % _CHUNK == 0. Returns
-    (within, excl): within-chunk inclusive prefixes (16, *batch, n viewed
-    as nb*C) and exclusive per-chunk offsets (16, *batch, nb), so
-    PS(k) = excl[k // C] + within[k] for inclusive-k and callers gather
-    only the boundary positions they need.
+    pt: AFFINE point pytree, leaves (16, *batch, n) with n % _CHUNK == 0
+    ((0,0) = infinity) — columns enter the scan through the cheaper
+    mixed adder (z2 = 1). Returns Jacobian (within, excl): within-chunk
+    inclusive prefixes (16, *batch, n viewed as nb*C) and exclusive
+    per-chunk offsets (16, *batch, nb), so PS(k) = excl[k // C] +
+    within[k] for inclusive-k and callers gather only the boundary
+    positions they need.
     """
     C = _CHUNK
     nb = n // C
@@ -105,7 +119,7 @@ def _chunked_prefix(curve: CurveOps, pt, batch: Tuple[int, ...], n: int):
     xs = _pt_map(pt, to_cols)
 
     def step(acc, col):
-        acc = curve.add(acc, col)
+        acc = _add_mixed(curve, acc, col)
         return acc, acc
 
     tot, within = jax.lax.scan(step, curve.inf(batch + (nb,)), xs)
@@ -126,7 +140,7 @@ def _ps_at(curve: CurveOps, within, excl, k):
     pos = jnp.maximum(k - 1, 0)
     w = _pt_take_last(within, pos)
     e = _pt_take_last(excl, pos // _CHUNK)
-    s = curve.add(w, e)
+    s = _add(curve, w, e)
     return curve.select(k == 0, curve.inf(k.shape), s)
 
 
@@ -169,7 +183,8 @@ def best_window_bits(n: int) -> int:
 
 def _window_group(curve: CurveOps, pts, digits, n: int, c: int):
     """Window totals for a group of windows. digits: (G, *batch, n),
-    pts leaves (16, *batch, n). Returns point with batch (G, *batch)."""
+    pts: AFFINE pytree, leaves (16, *batch, n). Returns a Jacobian point
+    with batch (G, *batch)."""
     bshape = digits.shape[:-1]       # (G, *batch)
     nbuckets = 1 << c
     perm = jnp.argsort(digits, axis=-1)
@@ -195,7 +210,7 @@ def _window_group(curve: CurveOps, pts, digits, n: int, c: int):
                 jnp.concatenate([cum, lo_idx], axis=-1))
     hi = _pt_map(ps, lambda a: a[..., :nbuckets])
     lo = _pt_map(ps, lambda a: a[..., nbuckets:])
-    buckets = curve.add(hi, curve.neg(lo))  # (G, nbuckets); B_0 unused
+    buckets = _add(curve, hi, curve.neg(lo))  # (G, nbuckets); B_0 unused
 
     # sum_j j*B_j = sum_{j>=1} S_j with S_j = sum_{k>=j} B_k: two identical
     # prefix passes (suffix sums, then their running total) — shared
@@ -227,7 +242,7 @@ def _combine_windows(curve: CurveOps, wpts, nwin: int, c: int):
         boundary = jnp.logical_and(phase == 1, (bit % c) == 0)
         other = curve.select(phase == 0, acc,
                              curve.select(boundary, wp, identity))
-        return curve.add(acc, other)
+        return _add(curve, acc, other)
 
     return jax.lax.fori_loop(0, 2 * total_bits, body, identity)
 
@@ -236,8 +251,8 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
         window_group: int = 4, combine: bool = True):
     """Multi-scalar multiplication, batched over leading axes.
 
-    pts: Jacobian point pytree, leaves (16, *batch, n) (already padded so
-    that n % _CHUNK == 0, with infinity padding). scalars:
+    pts: AFFINE point pytree, leaves (16, *batch, n) (already padded so
+    that n % _CHUNK == 0, with (0,0) infinity padding). scalars:
     (*batch, n, 16) packed u32 plain-integer limbs (zero-padded rows for
     padding points). Returns a Jacobian point with batch shape (*batch,),
     or — with combine=False — the per-window totals (leaves
@@ -279,7 +294,9 @@ def pad_len(n: int) -> int:
 
 
 def prepare_g1(points_nk16) -> Tuple:
-    """(n, 2, 16) Montgomery affine limbs -> padded Jacobian pytree."""
+    """(n, 2, 16) Montgomery affine limbs -> padded AFFINE pytree
+    (x, y), (0,0) = infinity — the zkey layout is used in place
+    (SURVEY.md §1 zero-deserialization), just limb-transposed."""
     import numpy as np
     pts = np.asarray(points_nk16)
     n, npad = pts.shape[0], pad_len(pts.shape[0])
@@ -288,11 +305,11 @@ def prepare_g1(points_nk16) -> Tuple:
             [pts, np.zeros((npad - n, 2, 16), np.uint32)], axis=0)
     x = jnp.asarray(np.moveaxis(pts[:, 0], -1, 0))
     y = jnp.asarray(np.moveaxis(pts[:, 1], -1, 0))
-    return G1.from_affine(x, y)
+    return (x, y)
 
 
 def prepare_g2(points_nk16) -> Tuple:
-    """(n, 4, 16) limbs (x.c0 x.c1 y.c0 y.c1) -> padded Jacobian pytree."""
+    """(n, 4, 16) limbs (x.c0 x.c1 y.c0 y.c1) -> padded AFFINE pytree."""
     import numpy as np
     pts = np.asarray(points_nk16)
     n, npad = pts.shape[0], pad_len(pts.shape[0])
@@ -300,7 +317,7 @@ def prepare_g2(points_nk16) -> Tuple:
         pts = np.concatenate(
             [pts, np.zeros((npad - n, 4, 16), np.uint32)], axis=0)
     coords = [jnp.asarray(np.moveaxis(pts[:, k], -1, 0)) for k in range(4)]
-    return G2.from_affine((coords[0], coords[1]), (coords[2], coords[3]))
+    return ((coords[0], coords[1]), (coords[2], coords[3]))
 
 
 def pad_scalars(scalars_n16, npad: int) -> jnp.ndarray:

@@ -51,8 +51,9 @@ def msm_sharded(curve: CurveOps, pts, scalars, c: int, mesh,
                 window_group: int = 4, combine: bool = True):
     """MSM with points/scalars sharded on n across mesh axis "shard".
 
-    pts leaves (16, *batch, n), scalars (*batch, n, 16); n divisible by
-    D * _CHUNK. Each device runs the local sort+scan MSM to per-window
+    pts: AFFINE pytree, leaves (16, *batch, n); scalars (*batch, n, 16);
+    n divisible by D * _CHUNK. Each device runs the local sort+scan MSM
+    to per-window
     totals; the D partial window points combine with one all_gather +
     running-sum pass (window sums are plain group sums, so they add
     across shards). Returns replicated: the combined Jacobian point
@@ -82,7 +83,9 @@ def msm_sharded(curve: CurveOps, pts, scalars, c: int, mesh,
         nwin = -(-MSM.SCALAR_BITS // c)
         return MSM._combine_windows(curve, wpts, nwin, c)
 
-    out_specs = jax.tree.map(lambda _: P(), pts)
+    # output is a JACOBIAN point (3 coords) regardless of the affine
+    # (2-coord) input structure
+    out_specs = jax.tree.map(lambda _: P(), (pts[0], pts[0], pts[0]))
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_rep=False)
     return fn(pts, scalars)

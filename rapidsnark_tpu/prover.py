@@ -93,7 +93,7 @@ class Prover:
                        or MSM.best_window_bits(self.nmax))
         self.window_group = window_group or config.window_group()
 
-        # --- device point tables: G1 stacked (16, 4, nmax) --------------
+        # --- device point tables: affine, G1 stacked (16, 4, nmax) -------
         stacked = np.stack([
             _pad_points(zkey.points_h, self.nmax),
             _pad_points(zkey.points_a, self.nmax),
@@ -102,12 +102,12 @@ class Prover:
         ])                                   # (4, nmax, 2, 16)
         x = jnp.asarray(np.moveaxis(stacked[:, :, 0, :], -1, 0))
         y = jnp.asarray(np.moveaxis(stacked[:, :, 1, :], -1, 0))
-        self.pts_g1 = G1.from_affine(x, y)   # leaves (16, 4, nmax)
+        self.pts_g1 = (x, y)                 # leaves (16, 4, nmax)
 
         b2 = _pad_points(zkey.points_b2, self.nmax)[None]  # (1, nmax, 4, 16)
         cs = [jnp.asarray(np.moveaxis(b2[:, :, k, :], -1, 0))
               for k in range(4)]
-        self.pts_g2 = G2.from_affine((cs[0], cs[1]), (cs[2], cs[3]))
+        self.pts_g2 = ((cs[0], cs[1]), (cs[2], cs[3]))
 
         if mesh is not None:
             from jax.sharding import NamedSharding
@@ -256,11 +256,15 @@ class Prover:
         assert wit.shape == (self.n_vars, 16)
         witness = jnp.asarray(np.moveaxis(wit, -1, 0))   # (16, nVars)
 
-        g1w, g2w = self._pipeline_jit(witness, self.tables())
-        # materialize (block_until_ready can lie on tunneled backends)
-        g1w = [np.asarray(leaf) for leaf in g1w]         # 3 x (16, W, 4)
-        g2w = jax.tree.map(np.asarray, g2w)
-        self.last_phases = {"device": time.perf_counter() - t0}
+        # phase-labeled timeline mirroring the reference's LOG_TRACE
+        # stages through prove() (groth16.cpp:51-202, SURVEY.md §5.1)
+        from .utils.logger import phase
+        self.last_phases = {}
+        with phase("device_pipeline", self.last_phases):
+            g1w, g2w = self._pipeline_jit(witness, self.tables())
+            # materialize (block_until_ready lies on tunneled backends)
+            g1w = [np.asarray(leaf) for leaf in g1w]     # 3 x (16, W, 4)
+            g2w = jax.tree.map(np.asarray, g2w)
 
         # --- host: window combine + randomized assembly -------------------
         t1 = time.perf_counter()

@@ -90,6 +90,51 @@ def test_g1_double_vs_ref():
         assert (g is None and e is None) or refc.G1.eq(g, e)
 
 
+def test_g1_add_mixed_vs_ref():
+    """Jacobian + affine complete adder: all the special lanes."""
+    n = 8
+    ps = _ref_g1_points(n)
+    qs = _ref_g1_points(n)
+    ps[0] = qs[0]                    # doubling lane
+    qs[1] = refc.G1.neg(ps[1])       # cancellation lane
+    qs[2] = None                     # q at infinity
+    ps[3] = None                     # p at infinity
+    ps[4] = None; qs[4] = None       # both at infinity
+    jac = _dev_g1(ps)
+    arr = np.stack([PT.g1_affine_to_mont_limbs(q) for q in qs])
+    aff = (FF.unpack(jnp.asarray(arr[:, 0])), FF.unpack(jnp.asarray(arr[:, 1])))
+    out = jax.jit(lambda a, b: G1.add_mixed(a, b))(jac, aff)
+    got = _host_g1(out)
+    for g, p, q in zip(got, ps, qs):
+        e = refc.G1.add(p, q)
+        assert (g is None and e is None) or refc.G1.eq(g, e)
+
+
+def test_fused_pallas_adders_match_xla(monkeypatch):
+    """ops/fused.py kernels (interpret mode on CPU) == the XLA path."""
+    from rapidsnark_tpu.ops import fused
+    monkeypatch.setenv("RSTPU_PALLAS", "1")
+    fused.enabled.cache_clear()
+    try:
+        n = 512
+        rs = np.random.RandomState(5)
+        leaf = lambda: jnp.asarray(  # noqa: E731
+            rs.randint(0, 1 << 16, size=(16, n), dtype=np.uint32))
+        p = (leaf(), leaf(), leaf())
+        q = (leaf(), leaf(), leaf())
+        got = fused.add(G1, p, q)
+        want = jax.jit(lambda a, b: G1.add(a, b))(p, q)
+        for g, w in zip(got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w))
+        qa = (leaf(), leaf())
+        got = fused.add_mixed(G1, p, qa)
+        want = jax.jit(lambda a, b: G1.add_mixed(a, b))(p, qa)
+        for g, w in zip(got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w))
+    finally:
+        fused.enabled.cache_clear()
+
+
 def test_g1_scalar_mul_vs_ref():
     p = _ref_g1_points(1)[0]
     k = rng.randrange(R_FR)

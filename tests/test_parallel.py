@@ -41,7 +41,7 @@ def test_msm_sharded_matches_ref():
     x = jax.numpy.asarray(np.moveaxis(arr[:, 0], -1, 0))
     y = jax.numpy.asarray(np.moveaxis(arr[:, 1], -1, 0))
     from rapidsnark_tpu.ops.curve import G1
-    dev_pts = G1.from_affine(x, y)
+    dev_pts = (x, y)  # affine pytree
     sc = M.pad_scalars(ints_to_limbs(ks), npad)
 
     out = jax.jit(
@@ -50,3 +50,32 @@ def test_msm_sharded_matches_ref():
     got = _host_g1(out)
     expect = refc.G1.msm(pts, ks)
     assert refc.G1.eq(got, expect)
+
+
+def test_distributed_ntt_matches_single_device():
+    """Four-step all-to-all NTT == the single-device kernel, both ways."""
+    import jax.numpy as jnp
+    from rapidsnark_tpu.ops import field as FF
+    from rapidsnark_tpu.ops.ntt import NTTPlan, ntt
+    from rapidsnark_tpu.parallel import pntt
+    from rapidsnark_tpu.utils.limbs import ints_to_limbs
+
+    ndev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    power = 8
+    n = 1 << power
+    vals = [rng.randrange(R_FR) for _ in range(n)]
+    x = FF.unpack(jnp.asarray(ints_to_limbs(vals)))
+
+    plan = pntt.DNTTPlan(power, ndev)
+    arrays = plan.arrays()
+    single = NTTPlan(power)
+
+    fwd = jax.jit(lambda v: pntt.dntt(v, arrays, plan, mesh))(x)
+    expect = ntt(x, {k: jnp.asarray(v) for k, v in
+                     single.arrays().items()})
+    assert np.array_equal(np.asarray(fwd), np.asarray(expect))
+
+    back = jax.jit(
+        lambda v: pntt.dntt(v, arrays, plan, mesh, inverse=True))(fwd)
+    assert np.array_equal(np.asarray(back), np.asarray(x))
