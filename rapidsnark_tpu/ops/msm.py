@@ -37,8 +37,7 @@ sizeof(FrElement) bytes, exactly like the reference (SURVEY.md §3.1
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
