@@ -77,6 +77,26 @@ def bench_msm(log_n: int, reps: int, c: int | None):
     return n / dt, dt, c
 
 
+def bench_prove(log_n: int):
+    """Warm end-to-end prove latency on a generated sqchain fixture
+    (tools/gen_big_fixture.py); None if the fixture is absent."""
+    import numpy as np
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_fixtures", f"sqchain{1 << log_n}")
+    if not os.path.exists(base + ".zkey"):
+        return None
+    from rapidsnark_tpu.io.wtns import read_wtns
+    from rapidsnark_tpu.io.zkey import read_zkey
+    from rapidsnark_tpu.prover import Prover
+
+    prover = Prover(read_zkey(base + ".zkey"))
+    wit = read_wtns(base + ".wtns").values
+    prover.prove(wit)                         # compile + warm
+    t0 = time.perf_counter()
+    prover.prove(wit)
+    return time.perf_counter() - t0
+
+
 def main():
     log_n = int(os.environ.get("RSTPU_BENCH_LOGN", "16"))
     reps = int(os.environ.get("RSTPU_BENCH_REPS", "3"))
@@ -85,15 +105,35 @@ def main():
 
     import jax
     plat = jax.devices()[0].platform
-    pts_per_sec, dt, c_used = bench_msm(log_n, reps, c)
+    extra = {"platform": plat}
 
+    prove_s = None
+    if os.environ.get("RSTPU_BENCH_PROVE", "1") != "0":
+        prove_s = bench_prove(log_n)
+    if prove_s is not None:
+        # headline metric (BASELINE.json): Groth16 proof latency.
+        # Stand-in baseline: ~0.4s for a 2^16 circuit on 64-core
+        # rapidsnark-class hardware (no numbers published, BASELINE.md).
+        baseline_s = 0.4 * (1 << log_n) / (1 << 16)
+        extra["prove_latency_s"] = round(prove_s, 3)
+        result = {
+            "metric": f"groth16_prove_latency_2^{log_n}",
+            "value": round(prove_s, 3),
+            "unit": "s",
+            "vs_baseline": round(baseline_s / prove_s, 4),
+            "extra": extra,
+        }
+        print(json.dumps(result))
+        return
+
+    pts_per_sec, dt, c_used = bench_msm(log_n, reps, c)
+    extra.update({"latency_s": round(dt, 4), "window_bits": c_used})
     result = {
         "metric": f"g1_msm_points_per_sec_2^{log_n}",
         "value": round(pts_per_sec, 1),
         "unit": "points/s",
         "vs_baseline": round(pts_per_sec / BASELINE_G1_MSM_PTS_PER_SEC, 4),
-        "extra": {"latency_s": round(dt, 4), "window_bits": c_used,
-                  "platform": plat},
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -135,3 +135,62 @@ def add_mixed(curve, p, q):
     """Jacobian + affine complete add, fused (z2 = 1 variant)."""
     nl = len(_flatten_pt(p)[0])
     return _binary(curve.add_mixed, curve.add_mixed, p, q, nl)
+
+
+def ntt_stage(x, xp, tw, lower):
+    """One NTT butterfly stage fused into a single kernel:
+    m = tw * (lower ? xp : x); out = lower ? x + m : xp - m.
+
+    x, xp, tw: (16, *batch, N) u32; lower: (N,) bool. Reads each operand
+    once instead of materializing the mont_mul's CIOS state to HBM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .field import FR
+
+    def fallback(x, xp, tw, lower):
+        m = FR.mul(tw, FR.select(lower, xp, x))
+        return FR.select(lower, FR.add(x, m), FR.sub(xp, m))
+
+    shape = x.shape
+    n = int(np.prod(shape[1:]))
+    if not enabled() or n < 256:
+        return fallback(x, xp, tw, lower)
+    lanes = jnp.broadcast_to(lower, shape[1:]).reshape(n)
+    blk = min(BLOCK, _round_up(n, 128))
+    npad = _round_up(n, blk)
+
+    def prep(a, fill=0):
+        a = a.reshape(16, n)
+        if npad != n:
+            a = jnp.concatenate(
+                [a, jnp.full((16, npad - n), jnp.uint32(fill))], axis=1)
+        return a
+
+    lmask = lanes
+    if npad != n:
+        lmask = jnp.concatenate(
+            [lanes, jnp.zeros((npad - n,), jnp.bool_)])
+    lmask = jnp.broadcast_to(lmask[None], (1, npad))
+
+    def kernel(x_ref, xp_ref, tw_ref, low_ref, out_ref):
+        from . import field as FF
+        with FF.force_unroll():
+            xv, xpv, twv = x_ref[:], xp_ref[:], tw_ref[:]
+            low = low_ref[:][0]
+            m = FR.mul(twv, FR.select(low, xpv, xv))
+            out_ref[:] = FR.select(low, FR.add(xv, m), FR.sub(xpv, m))
+
+    spec = pl.BlockSpec((16, blk), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // blk,),
+        in_specs=[spec, spec, spec, lspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((16, npad), jnp.uint32),
+        interpret=jax.default_backend() == "cpu",
+    )(prep(x), prep(xp), prep(tw), lmask)
+    return out[:, :n].reshape(shape)

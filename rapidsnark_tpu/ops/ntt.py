@@ -105,8 +105,8 @@ def _butterflies(x, tw):
             tw[:, k].reshape((16,) + (1,) * (x.ndim - 2) + (n,)), x.shape)
         pidx = jnp.broadcast_to(partner, x.shape)
         xp = jnp.take_along_axis(x, pidx, axis=-1)
-        m = FR.mul(twl, FR.select(lower, xp, x))
-        return FR.select(lower, FR.add(x, m), FR.sub(xp, m))
+        from . import fused
+        return fused.ntt_stage(x, xp, twl, lower)
 
     return jax.lax.fori_loop(0, stages, stage, x)
 
