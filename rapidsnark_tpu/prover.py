@@ -144,6 +144,18 @@ class Prover:
         self.ntt_arrays = {k: jnp.asarray(v) for k, v in plan.arrays().items()}
         self.eta = plan.eta
 
+        # distributed four-step NTT when the domain splits over the mesh
+        self.dntt_plan = None
+        self.dntt_arrays = {}
+        if mesh is not None:
+            from .parallel.pntt import DNTTPlan
+            try:
+                self.dntt_plan = DNTTPlan(self.power,
+                                          mesh.shape["shard"])
+                self.dntt_arrays = self.dntt_plan.arrays()
+            except ValueError:
+                self.dntt_plan = None  # tiny domain: replicated NTT
+
         self.last_phases: Dict[str, float] = {}
         # jit static key: equal-config Provers share ONE compiled
         # executable (self is static_argnums=0 in _pipeline_jit; without
@@ -172,6 +184,7 @@ class Prover:
             "pts_g1": self.pts_g1, "pts_g2": self.pts_g2,
             "coef_seg": self.coef_seg, "coef_s": self.coef_s,
             "coef_val": self.coef_val, "ntt": self.ntt_arrays,
+            "dntt": self.dntt_arrays,
         }
 
     def pipeline(self, witness, tables):
@@ -205,7 +218,18 @@ class Prover:
 
         # --- coset FFTs + h scalars (groth16.cpp:99-166) ------------------
         polys = jnp.concatenate([ab, cvec[:, None]], axis=1)  # (16, 3, N)
-        polys = to_odd_coset(polys, tables["ntt"], self.eta)
+        if self.dntt_plan is not None:
+            # distributed: ifft -> eta^k shift -> fft with four-step
+            # all-to-all transforms over the mesh (parallel/pntt.py)
+            from .parallel.pntt import dntt
+            polys = dntt(polys, tables["dntt"], self.dntt_plan,
+                         self.mesh, inverse=True)
+            shift = jnp.broadcast_to(
+                tables["ntt"]["coset"][:, None, :], polys.shape)
+            polys = FR.mul(polys, shift)
+            polys = dntt(polys, tables["dntt"], self.dntt_plan, self.mesh)
+        else:
+            polys = to_odd_coset(polys, tables["ntt"], self.eta)
         a2, b2, c2 = polys[:, 0], polys[:, 1], polys[:, 2]
         h = FR.from_mont(FR.sub(FR.mul(a2, b2), c2))     # groth16.cpp:162
 
