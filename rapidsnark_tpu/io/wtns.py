@@ -16,7 +16,7 @@ from typing import Sequence
 import numpy as np
 
 from ..utils.limbs import bytes_to_limbs, NBYTES
-from .binfile import BinFile, write_binfile
+from .binfile import write_binfile
 
 
 @dataclass

@@ -17,8 +17,6 @@ collectives are O(D) constants.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

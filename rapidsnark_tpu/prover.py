@@ -15,7 +15,8 @@ Implements the reference hot path /root/reference/src/groth16.cpp:49-254
                                           four G1 MSMs ride ONE batched
                                           call (4x wider vector lanes)
   libsodium r/s (209-217)                 os.urandom 31-byte convention
-  proof assembly (222-246)                batched double-and-add ladders
+  proof assembly (222-246)                exact host-side EC math on the
+                                          per-window MSM totals
 
 Representation pipeline preserved bit-for-bit (SURVEY.md §3.1): witness
 values stay standard-form, zkey tables stay Montgomery, h scalars get the
@@ -42,7 +43,6 @@ from .ops.ntt import NTTPlan, to_odd_coset
 from .ref.field import R_FR
 from .ref.groth16 import Proof, sample_rs
 from .utils import points as PT
-from .utils.limbs import int_to_limbs
 
 
 def _log2(n: int) -> int:
@@ -281,10 +281,16 @@ class Prover:
         witness = jnp.asarray(np.moveaxis(wit, -1, 0))   # (16, nVars)
 
         # phase-labeled timeline mirroring the reference's LOG_TRACE
-        # stages through prove() (groth16.cpp:51-202, SURVEY.md §5.1)
+        # stages through prove() (groth16.cpp:51-202, SURVEY.md §5.1);
+        # RSTPU_PROFILE=<dir> additionally captures a jax profiler trace
+        import contextlib
+        import os as _os
         from .utils.logger import phase
+        prof_dir = _os.environ.get("RSTPU_PROFILE")
+        prof = (jax.profiler.trace(prof_dir) if prof_dir
+                else contextlib.nullcontext())
         self.last_phases = {}
-        with phase("device_pipeline", self.last_phases):
+        with prof, phase("device_pipeline", self.last_phases):
             g1w, g2w = self._pipeline_jit(witness, self.tables())
             # materialize (block_until_ready lies on tunneled backends)
             g1w = [np.asarray(leaf) for leaf in g1w]     # 3 x (16, W, 4)

@@ -53,7 +53,6 @@ def device_fixed_base_g1(scalars):
     of ref affine points (None = infinity)."""
     import jax.numpy as jnp
     from rapidsnark_tpu.ops.curve import G1
-    from rapidsnark_tpu.utils import points as PT
     from rapidsnark_tpu.utils.limbs import ints_to_limbs
 
     gx = FQ_CTX.to_mont(G1_GEN[0])
