@@ -52,11 +52,21 @@ class Fq2Ops:
     def one_mont(self, shape=()):
         return (self.f.one_mont(shape), self.f.zero(shape))
 
+    def const(self, pair, shape=()):
+        """Fq2 constant from a pair of pre-encoded (stored-form) ints."""
+        return (self.f.const(pair[0], shape), self.f.const(pair[1], shape))
+
     def add(self, a, b):
         return self._unstack2(self.f.add(self._stack2(a), self._stack2(b)))
 
     def sub(self, a, b):
         return self._unstack2(self.f.sub(self._stack2(a), self._stack2(b)))
+
+    def add_lazy(self, a, b):
+        """Alias of the canonical add: Fq2-level lazy (< 2p) operands
+        would push the Karatsuba interior sums in mul_many past the
+        base-field mul's < 2p input bound."""
+        return self.add(a, b)
 
     def neg(self, a):
         s = self._stack2(a)
@@ -327,6 +337,129 @@ class CurveOps:
         return _tree_index(pts, 0)
 
 
+class ProjCurveOps(CurveOps):
+    """Complete group law in HOMOGENEOUS projective coordinates via the
+    Renes-Costello-Batina formulas (eprint 2015/1060, Algorithms 7/8,
+    a = 0): 12 field muls + two mul-by-3b per general add, NO per-case
+    selects — complete for doubling/inverse/infinity by construction.
+    This replaces the 23-mul Jacobian chord+tangent adder on the MSM hot
+    paths (ffiasm uses incomplete Jacobian adds + branches; branch-free
+    completeness is what makes these valid scan combiners).
+
+    Points are (X, Y, Z); infinity is (0, 1, 0); affine lift (x, y, 1).
+    `b3_mont` is 3*b of the curve in R-scaled (Montgomery) plain-int
+    form, or None to use the G1 shortcut (b3 = 9: three doublings + add).
+    """
+
+    def __init__(self, f, b3_mont=None):
+        super().__init__(f)
+        self.b3_mont = b3_mont
+
+    # -- representation -------------------------------------------------------
+    def inf(self, shape=()) -> Point:
+        return (self.f.zero(shape), self.f.one_mont(shape),
+                self.f.zero(shape))
+
+    def from_affine(self, x, y) -> Point:
+        """(0,0) encodes infinity (snarkjs zkey convention)."""
+        inf_mask = self.f.is_zero(x) & self.f.is_zero(y)
+        shape = _shape_of(x)
+        one = self.f.one_mont(shape)
+        zero = self.f.zero(shape)
+        return (self.f.select(inf_mask, zero, x),
+                self.f.select(inf_mask, one, y),
+                self.f.select(inf_mask, zero, one))
+
+    def _mul_b3(self, ts):
+        """[b3 * t for t in ts] — one batched op. b3 = 9 (G1) is three
+        doublings + add; otherwise one constant mul_many."""
+        f = self.f
+        if self.b3_mont is None:  # b3 = 9: 8t + t
+            stacked = _tree_stack_leaves(ts)
+            t8 = f.double(f.double(f.double(stacked)))
+            out = f.add(t8, stacked)
+            return _tree_unstack_leaves(out, len(ts))
+        shape = _shape_of(ts[0])
+        c = f.const(self.b3_mont, shape)
+        return f.mul_many([(t, c) for t in ts])
+
+    # -- group law (RCB Algorithm 7, a = 0) ------------------------------------
+    def add(self, p: Point, q: Point) -> Point:
+        f = self.f
+        x1, y1, z1 = p
+        x2, y2, z2 = q
+        la = f.add_lazy
+        t0, t1, t2, s3, s4, s5 = f.mul_many([
+            (x1, x2), (y1, y2), (z1, z2),
+            (la(x1, y1), la(x2, y2)),
+            (la(y1, z1), la(y2, z2)),
+            (la(x1, z1), la(x2, z2)),
+        ])
+        t3 = f.sub(f.sub(s3, t0), t1)        # X1Y2 + X2Y1
+        t4 = f.sub(f.sub(s4, t1), t2)        # Y1Z2 + Y2Z1
+        t5 = f.sub(f.sub(s5, t0), t2)        # X1Z2 + X2Z1
+        t0_3 = f.add(f.double(t0), t0)       # 3*t0 (a = 0)
+        t2b, y3b = self._mul_b3([t2, t5])    # b3*t2, b3*(X1Z2+X2Z1)
+        z3 = f.add(t1, t2b)
+        t1m = f.sub(t1, t2b)
+        m1, m2, m3, m4, m5, m6 = f.mul_many([
+            (t4, y3b), (t3, t1m), (y3b, t0_3),
+            (t1m, z3), (t0_3, t3), (z3, t4),
+        ])
+        x3 = f.sub(m2, m1)
+        y3 = f.add(m4, m3)
+        z3o = f.add(m6, m5)
+        return (x3, y3, z3o)
+
+    # -- mixed add (RCB Algorithm 8, a = 0, Z2 = 1) -----------------------------
+    def add_mixed(self, p: Point, q) -> Point:
+        """P + (x2, y2) with (0,0) encoding the affine point at infinity
+        (handled with one select — affine coordinates cannot represent
+        it, everything else is complete)."""
+        f = self.f
+        x1, y1, z1 = p
+        x2, y2 = q
+        la = f.add_lazy
+        t0, t1, s3, t4a, y3a = f.mul_many([
+            (x1, x2), (y1, y2),
+            (la(x1, y1), la(x2, y2)),
+            (y2, z1), (x2, z1),
+        ])
+        t3 = f.sub(f.sub(s3, t0), t1)        # X1Y2 + X2Y1
+        t4 = f.add(t4a, y1)                  # Y2Z1 + Y1
+        y3l = f.add(y3a, x1)                 # X2Z1 + X1
+        t0_3 = f.add(f.double(t0), t0)       # 3*t0
+        t2b, y3b = self._mul_b3([z1, y3l])   # b3*Z1, b3*(X2Z1+X1)
+        z3 = f.add(t1, t2b)
+        t1m = f.sub(t1, t2b)
+        m1, m2, m3, m4, m5, m6 = f.mul_many([
+            (t4, y3b), (t3, t1m), (y3b, t0_3),
+            (t1m, z3), (t0_3, t3), (z3, t4),
+        ])
+        out = (f.sub(m2, m1), f.add(m4, m3), f.add(m6, m5))
+        q_inf = f.is_zero(x2) & f.is_zero(y2)
+        return self.select(q_inf, p, out)
+
+    def double(self, p: Point) -> Point:
+        return self.add(p, p)
+
+
+def _tree_stack_leaves(elems):
+    if isinstance(elems[0], tuple):
+        return tuple(_tree_stack_leaves([e[k] for e in elems])
+                     for k in range(len(elems[0])))
+    return jnp.stack(elems, axis=1)
+
+
+def _tree_unstack_leaves(stacked, k):
+    def ix(e, i):
+        if isinstance(e, tuple):
+            return tuple(ix(c, i) for c in e)
+        return e[:, i]
+    return [tuple(ix(c, i) for c in stacked) if isinstance(stacked, tuple)
+            else stacked[:, i] for i in range(k)]
+
+
 def _shape_of(elem):
     """Batch shape of a field element ((16,*batch) array or Fq2 pair)."""
     while isinstance(elem, tuple):
@@ -353,3 +486,14 @@ def _map_leaves2(a, b, fn):
 
 G1 = CurveOps(FQ)
 G2 = CurveOps(FQ2)
+
+# RCB complete-projective instances (the MSM/prover hot path).
+# G1: b3 = 9 (adds). G2 twist: b = 3/(9+i), b3 = 9/(9+i), Montgomery-
+# encoded so mul against Montgomery coordinates stays in the domain.
+from ..ref import field as _rf  # noqa: E402
+
+_B3_G2 = _rf.fq2_scalar(_rf.FQ2_B, 3)
+G1P = ProjCurveOps(FQ)
+G2P = ProjCurveOps(
+    FQ2, b3_mont=(_B3_G2[0] * (1 << 256) % _rf.P,
+                  _B3_G2[1] * (1 << 256) % _rf.P))

@@ -42,7 +42,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .curve import CurveOps, G1, G2, _map_leaves, _shape_of
+from .curve import CurveOps, G1P, G2P, _map_leaves, _shape_of
 
 SCALAR_BITS = 256
 _CHUNK = 256  # columns of the sequential chunk scan
@@ -330,9 +330,9 @@ def pad_scalars(scalars_n16, npad: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def msm_g1(pts, scalars, c: int, window_group: int = 4):
-    return msm(G1, pts, scalars, c, window_group)
+    return msm(G1P, pts, scalars, c, window_group)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def msm_g2(pts, scalars, c: int, window_group: int = 4):
-    return msm(G2, pts, scalars, c, window_group)
+    return msm(G2P, pts, scalars, c, window_group)

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from .io.zkey import ZKey
 from .ops import field as FF
 from .ops.field import FR
-from .ops.curve import G1, G2
+from .ops.curve import G1P, G2P
 from .ops import msm as MSM
 from .ops.ntt import NTTPlan, to_odd_coset
 from .ref.field import R_FR
@@ -244,16 +244,16 @@ class Prover:
 
         # --- MSMs: four G1 in one batched call + one G2 -------------------
         if self.mesh is None:
-            g1w = MSM.msm(G1, tables["pts_g1"], g1_sc, self.c_bits,
+            g1w = MSM.msm(G1P, tables["pts_g1"], g1_sc, self.c_bits,
                           self.window_group, combine=False)
-            g2w = MSM.msm(G2, tables["pts_g2"], wit_row[None], self.c_bits,
+            g2w = MSM.msm(G2P, tables["pts_g2"], wit_row[None], self.c_bits,
                           self.window_group, combine=False)
         else:
             from .parallel import pmsm
-            g1w = pmsm.msm_sharded(G1, tables["pts_g1"], g1_sc, self.c_bits,
+            g1w = pmsm.msm_sharded(G1P, tables["pts_g1"], g1_sc, self.c_bits,
                                    self.mesh, self.window_group,
                                    combine=False)
-            g2w = pmsm.msm_sharded(G2, tables["pts_g2"], wit_row[None],
+            g2w = pmsm.msm_sharded(G2P, tables["pts_g2"], wit_row[None],
                                    self.c_bits, self.mesh,
                                    self.window_group, combine=False)
         return g1w, g2w
@@ -303,7 +303,7 @@ class Prover:
         nwin = x.shape[1]
 
         def g1_at(w, b):
-            return PT.jac_to_affine_g1(x[:, w, b], y[:, w, b], z[:, w, b])
+            return PT.proj_to_affine_g1(x[:, w, b], y[:, w, b], z[:, w, b])
 
         pih = _combine_host(RG1, [g1_at(w, 0) for w in range(nwin)],
                             self.c_bits)
@@ -317,7 +317,7 @@ class Prover:
 
         def g2_at(w):
             cc = lambda e: (e[0][:, w, 0], e[1][:, w, 0])  # noqa: E731
-            return PT.jac_to_affine_g2(cc(x2), cc(y2), cc(z2))
+            return PT.proj_to_affine_g2(cc(x2), cc(y2), cc(z2))
 
         pi_b = _combine_host(RG2, [g2_at(w) for w in range(nwin)],
                              self.c_bits)

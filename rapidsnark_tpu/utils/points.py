@@ -47,6 +47,27 @@ def jac_to_affine_g1(x, y, z) -> Optional[Tuple[int, int]]:
     return (xi * z2 % P, yi * z2 % P * zinv % P)
 
 
+def proj_to_affine_g1(x, y, z) -> Optional[Tuple[int, int]]:
+    """Homogeneous projective (Montgomery limbs) -> ref affine point."""
+    zi = _coord(z)
+    if zi == 0:
+        return None
+    zinv = pow(zi, -1, P)
+    return (_coord(x) * zinv % P, _coord(y) * zinv % P)
+
+
+def proj_to_affine_g2(x, y, z):
+    """Homogeneous projective G2 -> ref affine ((c0,c1) pairs)."""
+    z0, z1 = _coord(z[0]), _coord(z[1])
+    if z0 == 0 and z1 == 0:
+        return None
+    from ..ref.field import fq2_inv, fq2_mul
+    zinv = fq2_inv((z0, z1))
+    xq = (_coord(x[0]), _coord(x[1]))
+    yq = (_coord(y[0]), _coord(y[1]))
+    return (fq2_mul(xq, zinv), fq2_mul(yq, zinv))
+
+
 def jac_to_affine_g2(x, y, z):
     """Device G2 Jacobian ((c0,c1) Montgomery limb pairs) -> ref affine."""
     z0, z1 = _coord(z[0]), _coord(z[1])

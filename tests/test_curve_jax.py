@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from rapidsnark_tpu.ops import field as FF
-from rapidsnark_tpu.ops.curve import G1, G2, FQ2
+from rapidsnark_tpu.ops.curve import G1, G2, FQ2, G1P, G2P
 from rapidsnark_tpu.ref import curve as refc
 from rapidsnark_tpu.ref.field import R_FR
 from rapidsnark_tpu.utils.limbs import ints_to_limbs
@@ -88,6 +88,78 @@ def test_g1_double_vs_ref():
     for g, p in zip(got, ps):
         e = refc.G1.double(p)
         assert (g is None and e is None) or refc.G1.eq(g, e)
+
+
+def _host_g1p(proj):
+    """Projective (RCB) device point(s) -> ref affine."""
+    x, y, z = proj
+    xs, ys, zs = (np.asarray(FF.pack(c)) for c in (x, y, z))
+    if xs.ndim == 1:
+        return PT.proj_to_affine_g1(xs, ys, zs)
+    return [PT.proj_to_affine_g1(xs[i], ys[i], zs[i])
+            for i in range(len(xs))]
+
+
+def _host_g2p(proj):
+    x, y, z = proj
+
+    def cc(e):
+        return (np.asarray(FF.pack(e[0])), np.asarray(FF.pack(e[1])))
+
+    xs, ys, zs = cc(x), cc(y), cc(z)
+    if xs[0].ndim == 1:
+        return PT.proj_to_affine_g2(xs, ys, zs)
+    return [PT.proj_to_affine_g2((xs[0][i], xs[1][i]),
+                                 (ys[0][i], ys[1][i]),
+                                 (zs[0][i], zs[1][i]))
+            for i in range(len(xs[0]))]
+
+
+def test_rcb_projective_adders_vs_ref():
+    """Renes-Costello-Batina complete adds (G1 + G2, general + mixed),
+    including doubling / cancellation / infinity lanes."""
+    n = 8
+    ps = _ref_g1_points(n)
+    qs = _ref_g1_points(n)
+    ps[0] = qs[0]
+    qs[1] = refc.G1.neg(ps[1])
+    qs[2] = None
+    ps[3] = None
+    ps[4] = None; qs[4] = None
+
+    def devp(pts):
+        arr = np.stack([PT.g1_affine_to_mont_limbs(p) for p in pts])
+        return G1P.from_affine(FF.unpack(jnp.asarray(arr[:, 0])),
+                               FF.unpack(jnp.asarray(arr[:, 1])))
+
+    def affp(pts):
+        arr = np.stack([PT.g1_affine_to_mont_limbs(p) for p in pts])
+        return (FF.unpack(jnp.asarray(arr[:, 0])),
+                FF.unpack(jnp.asarray(arr[:, 1])))
+
+    for got in (_host_g1p(jax.jit(lambda a, b: G1P.add(a, b))(
+                    devp(ps), devp(qs))),
+                _host_g1p(jax.jit(lambda a, b: G1P.add_mixed(a, b))(
+                    devp(ps), affp(qs)))):
+        for g, p, q in zip(got, ps, qs):
+            e = refc.G1.add(p, q)
+            assert (g is None and e is None) or refc.G1.eq(g, e)
+
+    ps2 = _ref_g2_points(4)
+    qs2 = _ref_g2_points(4)
+    ps2[0] = qs2[0]
+    qs2[1] = None
+
+    def dev2(pts):
+        arr = np.stack([PT.g2_affine_to_mont_limbs(p) for p in pts])
+        cs = [FF.unpack(jnp.asarray(arr[:, k])) for k in range(4)]
+        return G2P.from_affine((cs[0], cs[1]), (cs[2], cs[3]))
+
+    got = _host_g2p(jax.jit(lambda a, b: G2P.add(a, b))(dev2(ps2),
+                                                        dev2(qs2)))
+    for g, p, q in zip(got, ps2, qs2):
+        e = refc.G2.add(p, q)
+        assert (g is None and e is None) or refc.G2.eq(g, e)
 
 
 def test_g1_add_mixed_vs_ref():

@@ -15,7 +15,7 @@ from rapidsnark_tpu.ref.field import R_FR
 from rapidsnark_tpu.utils import points as PT
 from rapidsnark_tpu.utils.limbs import ints_to_limbs
 
-from test_curve_jax import _host_g1, _host_g2
+from test_curve_jax import _host_g1p, _host_g2p
 
 rng = random.Random(7)
 
@@ -54,7 +54,7 @@ def test_msm_g1_vs_ref():
     dev_pts = M.prepare_g1(arr)
     sc = M.pad_scalars(ints_to_limbs(ks), M.pad_len(n))
     out = M.msm_g1(dev_pts, sc, 4)
-    got = _host_g1(out)
+    got = _host_g1p(out)
     expect = refc.G1.msm(pts, ks)
     assert refc.G1.eq(got, expect)
 
@@ -64,7 +64,7 @@ def test_msm_g1_tiny():
     pts, ks, arr = _g1_case(2)
     dev_pts = M.prepare_g1(arr)
     sc = M.pad_scalars(ints_to_limbs(ks), M.pad_len(2))
-    got = _host_g1(M.msm_g1(dev_pts, sc, 4))
+    got = _host_g1p(M.msm_g1(dev_pts, sc, 4))
     assert refc.G1.eq(got, refc.G1.msm(pts, ks))
 
 
@@ -73,7 +73,7 @@ def test_msm_g2_vs_ref():
     pts, ks, arr = _g2_case(n)
     dev_pts = M.prepare_g2(arr)
     sc = M.pad_scalars(ints_to_limbs(ks), M.pad_len(n))
-    got = _host_g2(M.msm_g2(dev_pts, sc, 4))
+    got = _host_g2p(M.msm_g2(dev_pts, sc, 4))
     expect = refc.G2.msm(pts, ks)
     assert refc.G2.eq(got, expect)
 

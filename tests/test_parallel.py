@@ -18,7 +18,7 @@ from rapidsnark_tpu.ref.field import R_FR
 from rapidsnark_tpu.utils import points as PT
 from rapidsnark_tpu.utils.limbs import ints_to_limbs
 
-from test_curve_jax import _host_g1
+from test_curve_jax import _host_g1p
 
 rng = random.Random(31)
 
@@ -40,14 +40,14 @@ def test_msm_sharded_matches_ref():
     arr[:n] = np.stack([PT.g1_affine_to_mont_limbs(p) for p in pts])
     x = jax.numpy.asarray(np.moveaxis(arr[:, 0], -1, 0))
     y = jax.numpy.asarray(np.moveaxis(arr[:, 1], -1, 0))
-    from rapidsnark_tpu.ops.curve import G1
+    from rapidsnark_tpu.ops.curve import G1P
     dev_pts = (x, y)  # affine pytree
     sc = M.pad_scalars(ints_to_limbs(ks), npad)
 
     out = jax.jit(
-        lambda p, s: pmsm.msm_sharded(G1, p, s, 4, mesh, combine=True)
+        lambda p, s: pmsm.msm_sharded(G1P, p, s, 4, mesh, combine=True)
     )(dev_pts, sc)
-    got = _host_g1(out)
+    got = _host_g1p(out)
     expect = refc.G1.msm(pts, ks)
     assert refc.G1.eq(got, expect)
 
