@@ -103,8 +103,7 @@ def _butterflies(x, tw):
         k = (lane & (half - 1)) << (logn - 1 - s)   # twiddle exponent
         twl = jnp.broadcast_to(
             tw[:, k].reshape((16,) + (1,) * (x.ndim - 2) + (n,)), x.shape)
-        pidx = jnp.broadcast_to(partner, x.shape)
-        xp = jnp.take_along_axis(x, pidx, axis=-1)
+        xp = jnp.take(x, partner, axis=-1)  # plain gather: no index tensor
         from . import fused
         return fused.ntt_stage(x, xp, twl, lower)
 
