@@ -88,10 +88,10 @@ def _binary(fn, fallback, p, q, n_out_leaves: int):
     npad = _round_up(n, blk)
 
     def prep(a):
-        a = a.reshape(16, n)
+        a = a.reshape(a.shape[0], n)
         if npad != n:
             a = jnp.concatenate(
-                [a, jnp.zeros((16, npad - n), jnp.uint32)], axis=1)
+                [a, jnp.zeros((a.shape[0], npad - n), jnp.uint32)], axis=1)
         return a
 
     flat = [prep(a) for a in p_leaves + q_leaves]
@@ -109,13 +109,17 @@ def _binary(fn, fallback, p, q, n_out_leaves: int):
         for o, v in zip(outs, r_leaves):
             o[:] = v
 
-    spec = pl.BlockSpec((16, blk), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
+    # leading dim per leaf: 16 (limb rows) or 8 (packed pair rows)
+    def spec_for(d):
+        return pl.BlockSpec((d, blk), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    out_spec = spec_for(16)
     out = pl.pallas_call(
         kernel,
         grid=(npad // blk,),
-        in_specs=[spec] * (np_ + nq),
-        out_specs=[spec] * n_out_leaves,
+        in_specs=[spec_for(a.shape[0]) for a in flat],
+        out_specs=[out_spec] * n_out_leaves,
         out_shape=[jax.ShapeDtypeStruct((16, npad),
                                         jnp.uint32)] * n_out_leaves,
         interpret=jax.default_backend() == "cpu",  # RSTPU_PALLAS=1 on CPU
@@ -134,6 +138,20 @@ def add_mixed(curve, p, q):
     """Jacobian + affine complete add, fused (z2 = 1 variant)."""
     nl = len(_flatten_pt(p)[0])
     return _binary(curve.add_mixed, curve.add_mixed, p, q, nl)
+
+
+def add_mixed_packed(curve, p, q_packed):
+    """Jacobian + PACKED affine add: q leaves are (8, *batch) 16-bit
+    pairs (ops/msm.pack_limb_rows); the kernel unpacks them in VMEM so
+    the gather/scan HBM traffic for the affine columns is halved."""
+    from .curve import _map_leaves
+    from .msm import unpack_limb_rows
+
+    def fn(pp, qq):
+        return curve.add_mixed(pp, tuple(
+            _map_leaves(c, unpack_limb_rows) for c in qq))
+
+    return _binary(fn, fn, p, q_packed, len(_flatten_pt(p)[0]))
 
 
 def ntt_stage(x, xp, tw, lower):

@@ -49,8 +49,30 @@ _CHUNK = 256  # columns of the sequential chunk scan
 
 
 # ---------------------------------------------------------------------------
-# point pytree helpers (leaves are (16, *batch) uint32 limb arrays)
+# point pytree helpers (leaves are (16, *batch) uint32 limb arrays;
+# PACKED affine tables use (8, *batch) with two 16-bit limbs per word)
 # ---------------------------------------------------------------------------
+
+def pack_limb_rows(a):
+    """(16, ...) u32 16-bit-payload limbs -> (8, ...) packed pairs.
+
+    Affine point tables are stored and GATHERED in this layout: the
+    sort-permutation gather is bandwidth-bound, and half the bytes of
+    the unpacked layout are zeros. Works on numpy and jnp arrays."""
+    return a[0::2] | (a[1::2] << 16)
+
+
+def unpack_limb_rows(a):
+    """(8, ...) packed pairs -> (16, ...) limbs. Written as 16 static
+    slices + one concat so the same code runs inside Pallas kernel
+    bodies (Mosaic has no interleaving reshape over sublanes)."""
+    mask = jnp.uint32(0xFFFF)
+    parts = []
+    for j in range(a.shape[0]):
+        parts.append(a[j:j + 1] & mask)
+        parts.append(a[j:j + 1] >> 16)
+    return jnp.concatenate(parts, axis=0)
+
 
 def _pt_map(pt, fn):
     return tuple(_map_leaves(c, fn) for c in pt)
@@ -62,10 +84,11 @@ def _add(curve: CurveOps, p, q):
     return fused.add(curve, p, q)
 
 
-def _add_mixed(curve: CurveOps, p, q):
-    """Jacobian + affine add through the fused Pallas kernel."""
+def _add_mixed_packed(curve: CurveOps, p, q):
+    """Jacobian + PACKED affine add through the fused Pallas kernel
+    (the kernel unpacks the affine columns in VMEM)."""
     from . import fused
-    return fused.add_mixed(curve, p, q)
+    return fused.add_mixed_packed(curve, p, q)
 
 
 def _gather_last(a, idx, nbatch_a: int):
@@ -109,24 +132,24 @@ def _hillis_prefix(curve: CurveOps, pt, size: int):
 def _chunked_prefix(curve: CurveOps, pt, batch: Tuple[int, ...], n: int):
     """All-positions inclusive prefix group sums along the last axis.
 
-    pt: AFFINE point pytree, leaves (16, *batch, n) with n % _CHUNK == 0
-    ((0,0) = infinity) — columns enter the scan through the cheaper
-    mixed adder (z2 = 1). Returns Jacobian (within, excl): within-chunk
-    inclusive prefixes (16, *batch, n viewed as nb*C) and exclusive
-    per-chunk offsets (16, *batch, nb), so PS(k) = excl[k // C] +
-    within[k] for inclusive-k and callers gather only the boundary
-    positions they need.
+    pt: PACKED affine point pytree, leaves (8, *batch, n) with
+    n % _CHUNK == 0 ((0,0) = infinity) — columns enter the scan through
+    the cheaper mixed adder (z2 = 1), unpacked in VMEM. Returns Jacobian
+    (within, excl): within-chunk inclusive prefixes (16, *batch, n
+    viewed as nb*C) and exclusive per-chunk offsets (16, *batch, nb), so
+    PS(k) = excl[k // C] + within[k] for inclusive-k and callers gather
+    only the boundary positions they need.
     """
     C = _CHUNK
     nb = n // C
-    # (16,*batch,n) -> (C, 16, *batch, nb): C becomes the scan axis.
+    # (8,*batch,n) -> (C, 8, *batch, nb): C becomes the scan axis.
     def to_cols(a):
         a = a.reshape(a.shape[:-1] + (nb, C))
         return jnp.moveaxis(a, -1, 0)
     xs = _pt_map(pt, to_cols)
 
     def step(acc, col):
-        acc = _add_mixed(curve, acc, col)
+        acc = _add_mixed_packed(curve, acc, col)
         return acc, acc
 
     tot, within = jax.lax.scan(step, curve.inf(batch + (nb,)), xs)
@@ -190,13 +213,16 @@ def best_window_bits(n: int) -> int:
 
 def _window_group(curve: CurveOps, pts, digits, n: int, c: int):
     """Window totals for a group of windows. digits: (G, *batch, n),
-    pts: AFFINE pytree, leaves (16, *batch, n). Returns a Jacobian point
-    with batch (G, *batch)."""
+    pts: PACKED affine pytree, leaves (8, *batch, n). Returns a Jacobian
+    point with batch (G, *batch)."""
     bshape = digits.shape[:-1]       # (G, *batch)
     nbuckets = 1 << c
-    perm = jnp.argsort(digits, axis=-1)
-    sorted_digits = jnp.take_along_axis(digits, perm, axis=-1)
-    # gather: leaf (16, *batch, n) -> (16, G, *batch, n)
+    # ONE sort pass yields both the sorted digits and the permutation
+    # (4x cheaper than argsort + take_along_axis re-gather of digits)
+    iota = jax.lax.broadcasted_iota(jnp.int32, digits.shape,
+                                    digits.ndim - 1)
+    sorted_digits, perm = jax.lax.sort_key_val(digits, iota, dimension=-1)
+    # gather: packed leaf (8, *batch, n) -> (8, G, *batch, n)
     spts = _pt_map(pts, lambda a: _gather_last(a, perm, a.ndim - 2))
 
     within, excl = _chunked_prefix(curve, spts, bshape, n)
@@ -254,8 +280,9 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
         window_group: int = 4, combine: bool = True):
     """Multi-scalar multiplication, batched over leading axes.
 
-    pts: AFFINE point pytree, leaves (16, *batch, n) (already padded so
-    that n % _CHUNK == 0, with (0,0) infinity padding). scalars:
+    pts: PACKED affine point pytree, leaves (8, *batch, n) — two 16-bit
+    limbs per u32 word (pack_limb_rows), already padded so that
+    n % _CHUNK == 0, with (0,0) infinity padding. scalars:
     (*batch, n, 16) packed u32 plain-integer limbs (zero-padded rows for
     padding points). Returns a Jacobian point with batch shape (*batch,),
     or — with combine=False — the per-window totals (leaves
@@ -297,29 +324,31 @@ def pad_len(n: int) -> int:
 
 
 def prepare_g1(points_nk16) -> Tuple:
-    """(n, 2, 16) Montgomery affine limbs -> padded AFFINE pytree
-    (x, y), (0,0) = infinity — the zkey layout is used in place
-    (SURVEY.md §1 zero-deserialization), just limb-transposed."""
+    """(n, 2, 16) Montgomery affine limbs -> padded PACKED affine pytree
+    (x, y), leaves (8, npad), (0,0) = infinity — the zkey layout is used
+    in place (SURVEY.md §1 zero-deserialization), limb-transposed and
+    16-bit-pair packed (half the gather bytes on the MSM hot path)."""
     import numpy as np
     pts = np.asarray(points_nk16)
     n, npad = pts.shape[0], pad_len(pts.shape[0])
     if npad != n:
         pts = np.concatenate(
             [pts, np.zeros((npad - n, 2, 16), np.uint32)], axis=0)
-    x = jnp.asarray(np.moveaxis(pts[:, 0], -1, 0))
-    y = jnp.asarray(np.moveaxis(pts[:, 1], -1, 0))
+    x = jnp.asarray(pack_limb_rows(np.moveaxis(pts[:, 0], -1, 0)))
+    y = jnp.asarray(pack_limb_rows(np.moveaxis(pts[:, 1], -1, 0)))
     return (x, y)
 
 
 def prepare_g2(points_nk16) -> Tuple:
-    """(n, 4, 16) limbs (x.c0 x.c1 y.c0 y.c1) -> padded AFFINE pytree."""
+    """(n, 4, 16) limbs (x.c0 x.c1 y.c0 y.c1) -> padded PACKED pytree."""
     import numpy as np
     pts = np.asarray(points_nk16)
     n, npad = pts.shape[0], pad_len(pts.shape[0])
     if npad != n:
         pts = np.concatenate(
             [pts, np.zeros((npad - n, 4, 16), np.uint32)], axis=0)
-    coords = [jnp.asarray(np.moveaxis(pts[:, k], -1, 0)) for k in range(4)]
+    coords = [jnp.asarray(pack_limb_rows(np.moveaxis(pts[:, k], -1, 0)))
+              for k in range(4)]
     return ((coords[0], coords[1]), (coords[2], coords[3]))
 
 

@@ -93,20 +93,24 @@ class Prover:
                        or MSM.best_window_bits(self.nmax))
         self.window_group = window_group or config.window_group()
 
-        # --- device point tables: affine, G1 stacked (16, 4, nmax) -------
+        # --- device point tables: PACKED affine, G1 stacked (8, 4, nmax)
+        # (two 16-bit limbs per u32 word: half the HBM footprint and half
+        # the sort-gather bytes on the MSM hot path, ops/msm.py)
         stacked = np.stack([
             _pad_points(zkey.points_h, self.nmax),
             _pad_points(zkey.points_a, self.nmax),
             _pad_points(zkey.points_b1, self.nmax),
             _pad_points(zkey.points_c, self.nmax),
         ])                                   # (4, nmax, 2, 16)
-        x = jnp.asarray(np.moveaxis(stacked[:, :, 0, :], -1, 0))
-        y = jnp.asarray(np.moveaxis(stacked[:, :, 1, :], -1, 0))
-        self.pts_g1 = (x, y)                 # leaves (16, 4, nmax)
+        x = jnp.asarray(MSM.pack_limb_rows(
+            np.moveaxis(stacked[:, :, 0, :], -1, 0)))
+        y = jnp.asarray(MSM.pack_limb_rows(
+            np.moveaxis(stacked[:, :, 1, :], -1, 0)))
+        self.pts_g1 = (x, y)                 # leaves (8, 4, nmax)
 
         b2 = _pad_points(zkey.points_b2, self.nmax)[None]  # (1, nmax, 4, 16)
-        cs = [jnp.asarray(np.moveaxis(b2[:, :, k, :], -1, 0))
-              for k in range(4)]
+        cs = [jnp.asarray(MSM.pack_limb_rows(
+            np.moveaxis(b2[:, :, k, :], -1, 0))) for k in range(4)]
         self.pts_g2 = ((cs[0], cs[1]), (cs[2], cs[3]))
 
         if mesh is not None:

@@ -38,10 +38,10 @@ def test_msm_sharded_matches_ref():
 
     arr = np.zeros((npad, 2, 16), np.uint32)
     arr[:n] = np.stack([PT.g1_affine_to_mont_limbs(p) for p in pts])
-    x = jax.numpy.asarray(np.moveaxis(arr[:, 0], -1, 0))
-    y = jax.numpy.asarray(np.moveaxis(arr[:, 1], -1, 0))
+    x = jax.numpy.asarray(M.pack_limb_rows(np.moveaxis(arr[:, 0], -1, 0)))
+    y = jax.numpy.asarray(M.pack_limb_rows(np.moveaxis(arr[:, 1], -1, 0)))
     from rapidsnark_tpu.ops.curve import G1P
-    dev_pts = (x, y)  # affine pytree
+    dev_pts = (x, y)  # packed affine pytree
     sc = M.pad_scalars(ints_to_limbs(ks), npad)
 
     out = jax.jit(
