@@ -64,13 +64,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _binary(fn, fallback, p, q, n_out_leaves: int):
+def _binary(fn, fallback, p, q, n_out_leaves: int, out_tree: bool = False,
+            blk_max: int = 0):
     """Fuse a binary point op into one Pallas kernel over lane blocks.
 
     p, q: point pytrees with (16, *batch) u32 leaves (batch shapes
-    equal). The kernel reads the input leaves once, evaluates `fn` fully
-    in VMEM (field muls unrolled), and writes the output leaves —
-    removing the HBM round-trips between the formula's ~20 field ops.
+    equal; PACKED leaves carry 8 rows instead). The kernel reads the
+    input leaves once, evaluates `fn` fully in VMEM (field muls
+    unrolled), and writes the output leaves — removing the HBM
+    round-trips between the formula's ~20 field ops.
+
+    out_tree=False: the output has p's structure. out_tree=True: the
+    output is a TUPLE of n_out_leaves/len(p_leaves) copies of p's
+    structure (the multi-column scan kernel returns every intermediate
+    accumulator).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -84,7 +91,8 @@ def _binary(fn, fallback, p, q, n_out_leaves: int):
 
     np_, nq = len(p_leaves), len(q_leaves)
     # Fq2 (2x leaves) doubles the live temporaries: halve the block
-    blk = min(BLOCK if np_ <= 3 else BLOCK // 2, _round_up(n, 128))
+    blk = min(blk_max or (BLOCK if np_ <= 3 else BLOCK // 2),
+              _round_up(n, 128))
     npad = _round_up(n, blk)
 
     def prep(a):
@@ -125,6 +133,10 @@ def _binary(fn, fallback, p, q, n_out_leaves: int):
         interpret=jax.default_backend() == "cpu",  # RSTPU_PALLAS=1 on CPU
     )(*flat)
     out = [a[:, :n].reshape((16,) + bshape) for a in out]
+    if out_tree:
+        per = len(p_leaves)
+        return tuple(rebuild_p(out[j * per:(j + 1) * per])
+                     for j in range(n_out_leaves // per))
     return rebuild_p(out)
 
 
@@ -138,6 +150,37 @@ def add_mixed(curve, p, q):
     """Jacobian + affine complete add, fused (z2 = 1 variant)."""
     nl = len(_flatten_pt(p)[0])
     return _binary(curve.add_mixed, curve.add_mixed, p, q, nl)
+
+
+def scan_cols_packed(curve, acc, cols):
+    """K sequential mixed adds in ONE kernel: acc' = acc + c_0 + c_1 ...
+    returning every intermediate accumulator (the MSM prefix scan needs
+    all positions). cols: tuple of K PACKED affine points. Returns a
+    tuple of K Jacobian points.
+
+    vs K separate add_mixed calls: the accumulator stays in VMEM across
+    the K adds (no HBM round-trip between steps) and the per-kernel
+    launch cost is paid once."""
+    from .curve import _map_leaves
+    from .msm import unpack_limb_rows
+
+    k = len(cols)
+    p_leaves, _ = _flatten_pt(acc)
+    out_leaves = len(p_leaves) * k
+
+    def fn(pp, qq):
+        outs = []
+        a = pp
+        for j in range(k):
+            a = curve.add_mixed(a, tuple(
+                _map_leaves(c, unpack_limb_rows) for c in qq[j]))
+            outs.append(a)
+        return tuple(outs)
+
+    # measured optimum at 2^18 (PERF.md): 512-lane blocks for the scan
+    # kernel regardless of curve
+    return _binary(fn, fn, acc, cols, out_leaves, out_tree=True,
+                   blk_max=BLOCK // 2)
 
 
 def add_mixed_packed(curve, p, q_packed):

@@ -46,6 +46,11 @@ from .curve import CurveOps, G1P, G2P, _map_leaves, _shape_of
 
 SCALAR_BITS = 256
 _CHUNK = 256  # columns of the sequential chunk scan
+# columns fused per scan kernel (the accumulator stays in VMEM across
+# them); measured optima at 2^18: 2 for G1, 4 for G2 (Fq2's 3x-costlier
+# adds amortize more launches before VMEM pressure bites)
+_SCAN_COLS_G1 = 2
+_SCAN_COLS_G2 = 4
 
 
 # ---------------------------------------------------------------------------
@@ -142,22 +147,31 @@ def _chunked_prefix(curve: CurveOps, pt, batch: Tuple[int, ...], n: int):
     """
     C = _CHUNK
     nb = n // C
-    # (8,*batch,n) -> (C, 8, *batch, nb): C becomes the scan axis.
+    from .curve import Fq2Ops
+    K = _SCAN_COLS_G2 if isinstance(curve.f, Fq2Ops) else _SCAN_COLS_G1
+    # (8,*batch,n) -> (C, 8, *batch, nb): C becomes the scan axis; K
+    # consecutive columns are fed to ONE kernel per scan step (the
+    # accumulator never leaves VMEM between them).
     def to_cols(a):
         a = a.reshape(a.shape[:-1] + (nb, C))
         return jnp.moveaxis(a, -1, 0)
-    xs = _pt_map(pt, to_cols)
+    cols = _pt_map(pt, to_cols)
+    xs = tuple(_pt_map(cols, lambda a: a[j::K]) for j in range(K))
 
-    def step(acc, col):
-        acc = _add_mixed_packed(curve, acc, col)
-        return acc, acc
+    def step(acc, colk):
+        from . import fused
+        outs = fused.scan_cols_packed(curve, acc, colk)
+        return outs[-1], outs
 
-    tot, within = jax.lax.scan(step, curve.inf(batch + (nb,)), xs)
-    # within leaves: (C, 16, *batch, nb) -> (16, *batch, nb, C) -> flat n
-    def from_cols(a):
+    tot, within_k = jax.lax.scan(step, curve.inf(batch + (nb,)), xs)
+    # within_k: K-tuple of points, leaves (C/K, 16, *batch, nb) at
+    # column index s*K + j -> reassemble the flat lane axis
+    def from_cols_k(*ls):
+        a = jnp.stack(ls, axis=1)            # (C/K, K, 16, *batch, nb)
+        a = a.reshape((C,) + a.shape[2:])    # (C, 16, *batch, nb)
         a = jnp.moveaxis(a, 0, -1)
         return a.reshape(a.shape[:-2] + (nb * C,))
-    within = _pt_map(within, from_cols)
+    within = jax.tree.map(from_cols_k, *within_k)
 
     incl = _hillis_prefix(curve, tot, nb)
     rolled = _pt_map(incl, lambda a: jnp.roll(a, 1, axis=-1))
@@ -179,8 +193,8 @@ def _ps_at(curve: CurveOps, within, excl, k):
 # ---------------------------------------------------------------------------
 
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
-    """(*batch, n, 16) packed u32 limbs -> (W, *batch, n) c-bit window
-    digits, c <= 16."""
+    """(*batch, n, 8) PACKED u32 words (256-bit little-endian scalars)
+    -> (W, *batch, n) c-bit window digits, c <= 16."""
     assert 1 <= c <= 16
     nwin = -(-SCALAR_BITS // c)
     pad = jnp.zeros(scalars.shape[:-1] + (1,), dtype=jnp.uint32)
@@ -189,9 +203,11 @@ def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     rows = []
     for w in range(nwin):
         off_bits = w * c
-        limb, off = divmod(off_bits, 16)
-        pair = s[..., limb] | (s[..., limb + 1] << 16)
-        rows.append((pair >> off) & mask)
+        word, off = divmod(off_bits, 32)
+        v = s[..., word] >> off
+        if off:  # window may straddle into the next word (off + c < 64)
+            v = v | (s[..., word + 1] << (32 - off))
+        rows.append(v & mask)
     return jnp.stack(rows).astype(jnp.int32)
 
 
@@ -283,7 +299,7 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     pts: PACKED affine point pytree, leaves (8, *batch, n) — two 16-bit
     limbs per u32 word (pack_limb_rows), already padded so that
     n % _CHUNK == 0, with (0,0) infinity padding. scalars:
-    (*batch, n, 16) packed u32 plain-integer limbs (zero-padded rows for
+    (*batch, n, 8) PACKED u32 plain-integer words (zero-padded rows for
     padding points). Returns a Jacobian point with batch shape (*batch,),
     or — with combine=False — the per-window totals (leaves
     (16, W, *batch)) for the ~256-doubling Horner combine to run on the
@@ -353,11 +369,14 @@ def prepare_g2(points_nk16) -> Tuple:
 
 
 def pad_scalars(scalars_n16, npad: int) -> jnp.ndarray:
+    """(n, 16) u32 16-bit limbs -> (npad, 8) PACKED device scalars (the
+    msm()/window_digits wire format: half the host->device bytes)."""
     import numpy as np
     s = np.asarray(scalars_n16, dtype=np.uint32)
+    s = s[:, 0::2] | (s[:, 1::2] << 16)
     if s.shape[0] != npad:
         s = np.concatenate(
-            [s, np.zeros((npad - s.shape[0], 16), np.uint32)], axis=0)
+            [s, np.zeros((npad - s.shape[0], 8), np.uint32)], axis=0)
     return jnp.asarray(s)
 
 

@@ -192,7 +192,8 @@ class Prover:
         }
 
     def pipeline(self, witness, tables):
-        """witness: (16, nVars) standard-form limbs; tables:
+        """witness: (8, nVars) PACKED standard-form limbs (pack_witness);
+        tables:
         self.tables(). Returns (g1_windows, g2_windows): per-window
         Pippenger totals, leaves (16, W, 4) / (16, W, 1) — W*5 points.
 
@@ -207,7 +208,10 @@ class Prover:
         n, nmax = self.domain, self.nmax
 
         # --- witness -> a, b, c evaluations (groth16.cpp:52-96) ----------
-        w = jnp.take(witness, tables["coef_s"], axis=1)  # (16, nCoefs)
+        # witness arrives PACKED (8, nVars): the host->device upload is
+        # tunnel-bandwidth-bound (PERF.md), so only payload bytes move
+        wp = jnp.take(witness, tables["coef_s"], axis=1)  # (8, nCoefs)
+        w = MSM.unpack_limb_rows(wp)                      # (16, nCoefs)
         prod = FR.mul(w, FF.unpack(tables["coef_val"]))  # standard-form
 
         # limb-space scatter-add: TPU-idiomatic striped-lock replacement
@@ -237,14 +241,15 @@ class Prover:
         a2, b2, c2 = polys[:, 0], polys[:, 1], polys[:, 2]
         h = FR.from_mont(FR.sub(FR.mul(a2, b2), c2))     # groth16.cpp:162
 
-        # --- scalar rows for the 5 MSMs (plain LE integers) ---------------
-        wit_row = jnp.zeros((nmax, 16), jnp.uint32
-                            ).at[:self.n_vars].set(FF.pack(witness))
-        h_row = jnp.zeros((nmax, 16), jnp.uint32).at[:n].set(FF.pack(h))
-        c_row = jnp.zeros((nmax, 16), jnp.uint32
+        # --- scalar rows for the 5 MSMs (plain LE integers, packed) ------
+        hp = MSM.pack_limb_rows(h)                           # (8, n)
+        wit_row = jnp.zeros((nmax, 8), jnp.uint32
+                            ).at[:self.n_vars].set(witness.T)
+        h_row = jnp.zeros((nmax, 8), jnp.uint32).at[:n].set(hp.T)
+        c_row = jnp.zeros((nmax, 8), jnp.uint32
                           ).at[:self.n_c].set(
-                              FF.pack(witness[:, self.n_public + 1:]))
-        g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])  # (4, nmax, 16)
+                              witness[:, self.n_public + 1:].T)
+        g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])  # (4, nmax, 8)
 
         # --- MSMs: four G1 in one batched call + one G2 -------------------
         if self.mesh is None:
@@ -282,7 +287,7 @@ class Prover:
 
         wit = np.asarray(witness_limbs, dtype=np.uint32)
         assert wit.shape == (self.n_vars, 16)
-        witness = jnp.asarray(np.moveaxis(wit, -1, 0))   # (16, nVars)
+        witness = jnp.asarray(pack_witness(wit))         # (8, nVars)
 
         # phase-labeled timeline mirroring the reference's LOG_TRACE
         # stages through prove() (groth16.cpp:51-202, SURVEY.md §5.1);
@@ -349,6 +354,13 @@ class Prover:
 # ---------------------------------------------------------------------------
 # host-side helpers
 # ---------------------------------------------------------------------------
+
+def pack_witness(wit_n16: np.ndarray) -> np.ndarray:
+    """(nVars, 16) u32 16-bit limbs -> (8, nVars) packed upload layout
+    (contiguous; exactly the wtns payload bytes, nothing more)."""
+    packed = wit_n16[:, 0::2] | (wit_n16[:, 1::2] << 16)  # (nVars, 8)
+    return np.ascontiguousarray(packed.T)
+
 
 def _limbs_int(row) -> int:
     return sum(int(v) << (16 * i) for i, v in enumerate(np.asarray(row)))

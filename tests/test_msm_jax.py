@@ -81,8 +81,9 @@ def test_msm_g2_vs_ref():
 def test_window_digits_reconstruct():
     import jax.numpy as jnp
     ks = [rng.randrange(1 << 256) for _ in range(5)]
+    packed = M.pad_scalars(ints_to_limbs(ks), len(ks))  # (n, 8) wire format
     for c in (4, 11, 16):
-        d = np.asarray(M.window_digits(jnp.asarray(ints_to_limbs(ks)), c))
+        d = np.asarray(M.window_digits(packed, c))
         for i, k in enumerate(ks):
             got = sum(int(d[w, i]) << (w * c) for w in range(d.shape[0]))
             assert got == k, f"c={c}"
