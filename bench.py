@@ -54,9 +54,9 @@ def bench_msm(log_n: int, reps: int, c: int | None):
     n = 1 << log_n
     pts = M.prepare_g1(_make_points(n))
     rng = np.random.RandomState(7)
-    scalars = M.pad_scalars(
-        rng.randint(0, 1 << 16, size=(n, 16)).astype(np.uint32),
-        M.pad_len(n))
+    limbs = rng.randint(0, 1 << 16, size=(n, 16)).astype(np.uint32)
+    limbs[:, 15] &= 0x3FFF  # Fr-sized scalars (< 2^254), as in proving
+    scalars = M.pad_scalars(limbs, M.pad_len(n))
     c = c or M.best_window_bits(n)
 
     import numpy as _np

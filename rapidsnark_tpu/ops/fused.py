@@ -153,10 +153,11 @@ def add_mixed(curve, p, q):
 
 
 def scan_cols_packed(curve, acc, cols):
-    """K sequential mixed adds in ONE kernel: acc' = acc + c_0 + c_1 ...
+    """K sequential signed mixed adds in ONE kernel: acc' = acc ± c_0 ...
     returning every intermediate accumulator (the MSM prefix scan needs
-    all positions). cols: tuple of K PACKED affine points. Returns a
-    tuple of K Jacobian points.
+    all positions). cols: tuple of K (*PACKED affine coords, sign_row)
+    tuples — sign_row is (1, *batch) u32, 1 => add the negated point
+    (signed Pippenger digits). Returns a tuple of K Jacobian points.
 
     vs K separate add_mixed calls: the accumulator stays in VMEM across
     the K adds (no HBM round-trip between steps) and the per-kernel
@@ -172,8 +173,12 @@ def scan_cols_packed(curve, acc, cols):
         outs = []
         a = pp
         for j in range(k):
-            a = curve.add_mixed(a, tuple(
-                _map_leaves(c, unpack_limb_rows) for c in qq[j]))
+            coords, s = qq[j][:-1], qq[j][-1]
+            x2, y2 = tuple(
+                _map_leaves(c, unpack_limb_rows) for c in coords)
+            neg = s[0] != 0
+            y2 = curve.f.select(neg, curve.f.neg(y2), y2)
+            a = curve.add_mixed(a, (x2, y2))
             outs.append(a)
         return tuple(outs)
 

@@ -134,16 +134,19 @@ def _hillis_prefix(curve: CurveOps, pt, size: int):
     return jax.lax.fori_loop(0, steps, body, pt) if steps else pt
 
 
-def _chunked_prefix(curve: CurveOps, pt, batch: Tuple[int, ...], n: int):
+def _chunked_prefix(curve: CurveOps, pt, sign, batch: Tuple[int, ...],
+                    n: int):
     """All-positions inclusive prefix group sums along the last axis.
 
     pt: PACKED affine point pytree, leaves (8, *batch, n) with
-    n % _CHUNK == 0 ((0,0) = infinity) — columns enter the scan through
-    the cheaper mixed adder (z2 = 1), unpacked in VMEM. Returns Jacobian
-    (within, excl): within-chunk inclusive prefixes (16, *batch, n
-    viewed as nb*C) and exclusive per-chunk offsets (16, *batch, nb), so
-    PS(k) = excl[k // C] + within[k] for inclusive-k and callers gather
-    only the boundary positions they need.
+    n % _CHUNK == 0 ((0,0) = infinity); sign: (1, *batch, n) u32, 1 =>
+    the point enters negated (signed Pippenger digits) — columns go
+    through the cheaper mixed adder (z2 = 1), unpacked and sign-applied
+    in VMEM. Returns Jacobian (within, excl): within-chunk inclusive
+    prefixes (16, *batch, n viewed as nb*C) and exclusive per-chunk
+    offsets (16, *batch, nb), so PS(k) = excl[k // C] + within[k] for
+    inclusive-k and callers gather only the boundary positions they
+    need.
     """
     C = _CHUNK
     nb = n // C
@@ -151,11 +154,12 @@ def _chunked_prefix(curve: CurveOps, pt, batch: Tuple[int, ...], n: int):
     K = _SCAN_COLS_G2 if isinstance(curve.f, Fq2Ops) else _SCAN_COLS_G1
     # (8,*batch,n) -> (C, 8, *batch, nb): C becomes the scan axis; K
     # consecutive columns are fed to ONE kernel per scan step (the
-    # accumulator never leaves VMEM between them).
+    # accumulator never leaves VMEM between them). Each scan column is
+    # (*coords, sign_row).
     def to_cols(a):
         a = a.reshape(a.shape[:-1] + (nb, C))
         return jnp.moveaxis(a, -1, 0)
-    cols = _pt_map(pt, to_cols)
+    cols = _pt_map(pt, to_cols) + (to_cols(sign),)
     xs = tuple(_pt_map(cols, lambda a: a[j::K]) for j in range(K))
 
     def step(acc, colk):
@@ -211,13 +215,42 @@ def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(rows).astype(jnp.int32)
 
 
+def signed_window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Signed-digit recoding, ENCODED as |d|*2 + (d<0).
+
+    Windows recode to d' in [-2^(c-1), 2^(c-1)] (carrying 1 into the
+    next window when d >= 2^(c-1)), which HALVES the bucket range: the
+    point for a negative digit enters the scan with y negated (one cheap
+    field negation) instead of doubling the bucket count. Requires
+    scalars < 2^254 (always true here: MSM inputs are Fr elements < r,
+    SURVEY.md §3.1), so the top window never carries out.
+
+    The encoding packs magnitude and sign into one sort key: bucket
+    boundaries of |d| are searchsorted at 2j+1, and the scan reads the
+    sign from bit 0.
+    """
+    raw = window_digits(scalars, c)          # (W, *batch, n) in [0, 2^c)
+    half, full = 1 << (c - 1), 1 << c
+    rows = []
+    carry = jnp.zeros_like(raw[0])
+    for w in range(raw.shape[0]):
+        d = raw[w] + carry
+        neg = d >= half
+        dd = jnp.where(neg, d - full, d)     # [-2^(c-1), 2^(c-1)]
+        carry = neg.astype(jnp.int32)
+        rows.append(jnp.abs(dd) * 2 + (dd < 0))
+    return jnp.stack(rows)
+
+
 def best_window_bits(n: int) -> int:
-    """Pick c minimizing the lane-add work model of this formulation:
-    W(c) * (n + 4*2^c*c) — chunk scan + the Hillis bucket passes."""
+    """Pick c minimizing the measured cost model of this formulation
+    (PERF.md): per window, sort+gather+scan ~ n lane-adds and the bucket
+    phase ~ 18 * 2^(c-1) point-equivalents (fitted on v5e at 2^18;
+    signed digits: bucket range is 2^(c-1))."""
     best, best_cost = 1, None
     for c in range(1, 17):
         nwin = -(-SCALAR_BITS // c)
-        cost = nwin * (n + 4 * (1 << c) * c)
+        cost = nwin * (n + 18 * (1 << (c - 1)))
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best
@@ -228,22 +261,27 @@ def best_window_bits(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _window_group(curve: CurveOps, pts, digits, n: int, c: int):
-    """Window totals for a group of windows. digits: (G, *batch, n),
-    pts: PACKED affine pytree, leaves (8, *batch, n). Returns a Jacobian
-    point with batch (G, *batch)."""
+    """Window totals for a group of windows. digits: (G, *batch, n)
+    ENCODED signed digits (signed_window_digits), pts: PACKED affine
+    pytree, leaves (8, *batch, n). Returns a Jacobian point with batch
+    (G, *batch)."""
     bshape = digits.shape[:-1]       # (G, *batch)
-    nbuckets = 1 << c
+    nbuckets = (1 << (c - 1)) + 1    # |d| in [0, 2^(c-1)]
     # ONE sort pass yields both the sorted digits and the permutation
-    # (4x cheaper than argsort + take_along_axis re-gather of digits)
+    # (4x cheaper than argsort + take_along_axis re-gather of digits);
+    # sorting the encoding |d|*2+neg orders by magnitude with the sign
+    # riding bit 0
     iota = jax.lax.broadcasted_iota(jnp.int32, digits.shape,
                                     digits.ndim - 1)
     sorted_digits, perm = jax.lax.sort_key_val(digits, iota, dimension=-1)
     # gather: packed leaf (8, *batch, n) -> (8, G, *batch, n)
     spts = _pt_map(pts, lambda a: _gather_last(a, perm, a.ndim - 2))
+    sign = (sorted_digits & 1).astype(jnp.uint32)[None]  # (1, G,*batch, n)
 
-    within, excl = _chunked_prefix(curve, spts, bshape, n)
+    within, excl = _chunked_prefix(curve, spts, sign, bshape, n)
 
-    queries = jnp.arange(nbuckets, dtype=jnp.int32)
+    # bucket boundary of |d| <= j in the encoded order: key 2j+1
+    queries = 2 * jnp.arange(nbuckets, dtype=jnp.int32) + 1
     cum = jax.vmap(
         lambda d: jnp.searchsorted(d, queries, side="right"))(
             sorted_digits.reshape(-1, n)).reshape(bshape + (nbuckets,))
@@ -313,7 +351,7 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     """
     n = scalars.shape[-2]
     bshape = scalars.shape[:-2]
-    digits = window_digits(scalars, c)  # (W, *batch, n)
+    digits = signed_window_digits(scalars, c)  # (W, *batch, n) encoded
     nwin = digits.shape[0]
     G_ = min(window_group, nwin)
     while nwin % G_:

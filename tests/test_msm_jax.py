@@ -87,3 +87,22 @@ def test_window_digits_reconstruct():
         for i, k in enumerate(ks):
             got = sum(int(d[w, i]) << (w * c) for w in range(d.shape[0]))
             assert got == k, f"c={c}"
+
+
+def test_signed_window_digits_reconstruct():
+    # Fr-sized scalars (< 2^254): the signed recode's no-top-carry bound
+    ks = [rng.randrange(R_FR) for _ in range(7)]
+    ks[0] = 0
+    ks[1] = R_FR - 1
+    packed = M.pad_scalars(ints_to_limbs(ks), len(ks))
+    for c in (4, 13, 16):
+        enc = np.asarray(M.signed_window_digits(packed, c))
+        half = 1 << (c - 1)
+        for i, k in enumerate(ks):
+            tot = 0
+            for w in range(enc.shape[0]):
+                e = int(enc[w, i])
+                mag, neg = e >> 1, e & 1
+                assert mag <= half
+                tot += (-mag if neg else mag) << (w * c)
+            assert tot == k, f"c={c}"
