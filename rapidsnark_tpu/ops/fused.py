@@ -202,60 +202,54 @@ def add_mixed_packed(curve, p, q_packed):
     return _binary(fn, fn, p, q_packed, len(_flatten_pt(p)[0]))
 
 
-def ntt_stage(x, xp, tw, lower):
-    """One NTT butterfly stage fused into a single kernel:
-    m = tw * (lower ? xp : x); out = lower ? x + m : xp - m.
-
-    x, xp, tw: (16, *batch, N) u32; lower: (N,) bool. Reads each operand
-    once instead of materializing the mont_mul's CIOS state to HBM.
-    """
+def ntt_butterfly(lo, hi, tw, dif: bool):
+    """One radix-2 butterfly layer as a fused kernel over (lo, hi) pairs
+    (partners pre-separated by a STATIC reshape — no gather):
+      DIT: m = tw*hi; (lo + m, lo - m)
+      DIF: (lo + hi, tw*(lo - hi))
+    lo, hi, tw: (16, *batch) u32 — HALF the transform length, so each
+    stage runs ONE mont_mul over n/2 lanes (the lane-uniform xor-partner
+    formulation multiplied all n lanes and paid a data-dependent gather
+    at ~2 GB/s, which dominated the whole NTT)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from .field import FR
 
-    def fallback(x, xp, tw, lower):
-        m = FR.mul(tw, FR.select(lower, xp, x))
-        return FR.select(lower, FR.add(x, m), FR.sub(xp, m))
+    def fb(lo, hi, tw):
+        if dif:
+            return FR.add(lo, hi), FR.mul(tw, FR.sub(lo, hi))
+        m = FR.mul(tw, hi)
+        return FR.add(lo, m), FR.sub(lo, m)
 
-    shape = x.shape
+    shape = lo.shape
     n = int(np.prod(shape[1:]))
     if not enabled() or n < 256:
-        return fallback(x, xp, tw, lower)
-    lanes = jnp.broadcast_to(lower, shape[1:]).reshape(n)
+        return fb(lo, hi, tw)
     blk = min(BLOCK, _round_up(n, 128))
     npad = _round_up(n, blk)
 
-    def prep(a, fill=0):
+    def prep(a):
         a = a.reshape(16, n)
         if npad != n:
             a = jnp.concatenate(
-                [a, jnp.full((16, npad - n), jnp.uint32(fill))], axis=1)
+                [a, jnp.zeros((16, npad - n), jnp.uint32)], axis=1)
         return a
 
-    lmask = lanes
-    if npad != n:
-        lmask = jnp.concatenate(
-            [lanes, jnp.zeros((npad - n,), jnp.bool_)])
-    lmask = jnp.broadcast_to(lmask[None], (1, npad))
-
-    def kernel(x_ref, xp_ref, tw_ref, low_ref, out_ref):
+    def kernel(lo_ref, hi_ref, tw_ref, o1_ref, o2_ref):
         from . import field as FF
         with FF.force_unroll():
-            xv, xpv, twv = x_ref[:], xp_ref[:], tw_ref[:]
-            low = low_ref[:][0]
-            m = FR.mul(twv, FR.select(low, xpv, xv))
-            out_ref[:] = FR.select(low, FR.add(xv, m), FR.sub(xpv, m))
+            o1, o2 = fb(lo_ref[:], hi_ref[:], tw_ref[:])
+            o1_ref[:] = o1
+            o2_ref[:] = o2
 
     spec = pl.BlockSpec((16, blk), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    lspec = pl.BlockSpec((1, blk), lambda i: (0, i),
-                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(npad // blk,),
-        in_specs=[spec, spec, spec, lspec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((16, npad), jnp.uint32),
+        in_specs=[spec] * 3,
+        out_specs=[spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((16, npad), jnp.uint32)] * 2,
         interpret=jax.default_backend() == "cpu",
-    )(prep(x), prep(xp), prep(tw), lmask)
-    return out[:, :n].reshape(shape)
+    )(prep(lo), prep(hi), prep(tw))
+    return (out[0][:, :n].reshape(shape), out[1][:, :n].reshape(shape))

@@ -74,6 +74,21 @@ class NTTPlan:
         self.eta = fr_w(power + 1)
         self.coset = (_powers_mont(self.eta, self.n) if with_coset
                       else None)  # (16, N)
+        # (1/N * eta^k) permuted to bit-reversed positions: the middle
+        # factor of the gather-free DIF -> mul -> DIT coset pipeline
+        # (to_odd_coset), folding the ifft's 1/N scale into the same mul
+        if with_coset:
+            ninv_i = pow(self.n, -1, R_FR)
+            vals, cur = [], 1
+            for _ in range(self.n):
+                vals.append(cur * ninv_i % R_FR * (1 << 256) % R_FR)
+                cur = cur * self.eta % R_FR
+            import numpy as _np
+            tbl = ints_to_limbs(vals).T.copy()           # (16, N) natural
+            self.coset_ninv_br = _np.ascontiguousarray(
+                tbl[:, self.bitrev])                     # (16, N) bitrev
+        else:
+            self.coset_ninv_br = None
 
     def arrays(self) -> Dict[str, np.ndarray]:
         out = {
@@ -84,36 +99,70 @@ class NTTPlan:
         }
         if self.coset is not None:
             out["coset"] = self.coset
+        if self.coset_ninv_br is not None:
+            out["coset_ninv_br"] = self.coset_ninv_br
         return out
 
 
-def _butterflies(x, tw):
-    """log2(N) DIT stages after bit-reversal, ONE instantiation of each
-    field op. x: (16, *batch, N); tw: (16, N/2) Montgomery twiddles."""
+def _split_lohi(x, half: int):
+    """Static butterfly pairing: lane = j*(2*half) + b*half + t, partner
+    = lane XOR half — a reshape, never a gather."""
     n = x.shape[-1]
+    xv = x.reshape(x.shape[:-1] + (n // (2 * half), 2, half))
+    return xv[..., 0, :], xv[..., 1, :]
+
+
+def _merge_lohi(lo, hi):
+    y = jnp.stack([lo, hi], axis=-2)  # (..., nblk, 2, half)
+    return y.reshape(y.shape[:-3] + (-1,))
+
+
+def _tw_for(tw, half: int, stride: int, like):
+    """(16, half)-strided twiddle slice broadcast to lo's shape."""
+    tws = tw[:, ::stride][:, :half]
+    shape = (16,) + (1,) * (like.ndim - 2) + (half,)
+    return jnp.broadcast_to(tws.reshape(shape), like.shape)
+
+
+def _stages_dit(x, tw):
+    """Decimation-in-time stages: BIT-REVERSED input -> natural output.
+    x: (16, *batch, N); tw: (16, N/2) Montgomery twiddles. Every stage
+    is one fused butterfly kernel over n/2 lanes (ops/fused.py)."""
+    from . import fused
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
     tw = jnp.asarray(tw)
-    stages = n.bit_length() - 1
-    lane = jnp.arange(n, dtype=jnp.int32)
-    logn = stages
+    for s in range(logn):
+        half = 1 << s
+        lo, hi = _split_lohi(x, half)
+        twl = _tw_for(tw, half, 1 << (logn - 1 - s), lo)
+        lo, hi = fused.ntt_butterfly(lo, hi, twl, dif=False)
+        x = _merge_lohi(lo, hi)
+    return x
 
-    def stage(s, x):
-        half = jnp.int32(1) << s
-        partner = lane ^ half                       # i XOR 2^s
-        lower = (lane & half) == 0
-        k = (lane & (half - 1)) << (logn - 1 - s)   # twiddle exponent
-        twl = jnp.broadcast_to(
-            tw[:, k].reshape((16,) + (1,) * (x.ndim - 2) + (n,)), x.shape)
-        xp = jnp.take(x, partner, axis=-1)  # plain gather: no index tensor
-        from . import fused
-        return fused.ntt_stage(x, xp, twl, lower)
 
-    return jax.lax.fori_loop(0, stages, stage, x)
+def _stages_dif(x, tw):
+    """Decimation-in-frequency stages: natural input -> BIT-REVERSED
+    output. With inverse twiddles this is the unscaled inverse DFT —
+    DIF + (elementwise work) + DIT composes with NO bit-reversal
+    permutations at all (the coset pipeline below)."""
+    from . import fused
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    tw = jnp.asarray(tw)
+    for k in range(logn):
+        half = 1 << (logn - 1 - k)
+        lo, hi = _split_lohi(x, half)
+        twl = _tw_for(tw, half, 1 << k, lo)
+        lo, hi = fused.ntt_butterfly(lo, hi, twl, dif=True)
+        x = _merge_lohi(lo, hi)
+    return x
 
 
 def ntt(x, arrays, inverse: bool = False):
     """DFT / inverse DFT on stored values. x: (16, *batch, N) uint32."""
     x = jnp.take(x, arrays["bitrev"], axis=-1)
-    x = _butterflies(x, arrays["inv_tw"] if inverse else arrays["fwd_tw"])
+    x = _stages_dit(x, arrays["inv_tw"] if inverse else arrays["fwd_tw"])
     if inverse:
         ninv = jnp.broadcast_to(
             arrays["ninv"].reshape((16,) + (1,) * (x.ndim - 1)), x.shape)
@@ -139,14 +188,27 @@ def coset_powers(value: int, n: int):
 def to_odd_coset(x, arrays, eta: int = 0):
     """ifft -> multiply element k by eta^k -> fft (groth16.cpp:101-155):
     maps evaluations on H to evaluations on the odd 2N-th roots coset.
-    x: (16, *batch, N). Uses the plan's precomputed coset table when
-    present, else builds powers of `eta` on device."""
-    x = ntt(x, arrays, inverse=True)
+    x: (16, *batch, N).
+
+    With the plan's coset_ninv_br table this runs the gather-free form:
+    DIF stages (natural -> bitrev, unscaled inverse), ONE fused multiply
+    by (1/N * eta^k) at bit-reversed positions, DIT stages (bitrev ->
+    natural) — no bit-reversal permutations, no per-stage gathers.
+    Without the table (device-built eta powers), falls back to two
+    full ntt() calls."""
     n = x.shape[-1]
-    shift = arrays.get("coset")
-    if shift is None:
-        shift = coset_powers(eta, n)
+    shift_br = arrays.get("coset_ninv_br")
+    if shift_br is None:
+        x = ntt(x, arrays, inverse=True)
+        shift = arrays.get("coset")
+        if shift is None:
+            shift = coset_powers(eta, n)
+        shift = jnp.broadcast_to(
+            shift.reshape((16,) + (1,) * (x.ndim - 2) + (n,)), x.shape)
+        x = FR.mul(x, shift)
+        return ntt(x, arrays)
+    x = _stages_dif(x, arrays["inv_tw"])
     shift = jnp.broadcast_to(
-        shift.reshape((16,) + (1,) * (x.ndim - 2) + (n,)), x.shape)
+        shift_br.reshape((16,) + (1,) * (x.ndim - 2) + (n,)), x.shape)
     x = FR.mul(x, shift)
-    return ntt(x, arrays)
+    return _stages_dit(x, arrays["fwd_tw"])

@@ -306,47 +306,48 @@ class Prover:
             g2w = jax.tree.map(np.asarray, g2w)
 
         # --- host: window combine + randomized assembly -------------------
+        # all-projective int math (utils/hostcurve): inversion-free until
+        # the three final affine outputs — the affine oracle paid one
+        # inversion per group op (~1500 per proof, 0.2s+ of host time)
         t1 = time.perf_counter()
-        from .ref.curve import G1 as RG1, G2 as RG2
+        from .utils.hostcurve import G1H, G2H
         x, y, z = g1w
         nwin = x.shape[1]
 
         def g1_at(w, b):
-            return PT.proj_to_affine_g1(x[:, w, b], y[:, w, b], z[:, w, b])
+            return PT.proj_g1_int(x[:, w, b], y[:, w, b], z[:, w, b])
 
-        pih = _combine_host(RG1, [g1_at(w, 0) for w in range(nwin)],
-                            self.c_bits)
-        pi_a = _combine_host(RG1, [g1_at(w, 1) for w in range(nwin)],
-                             self.c_bits)
-        pib1 = _combine_host(RG1, [g1_at(w, 2) for w in range(nwin)],
-                             self.c_bits)
-        pi_c = _combine_host(RG1, [g1_at(w, 3) for w in range(nwin)],
-                             self.c_bits)
+        pih, pi_a, pib1, pi_c = (
+            G1H.combine_windows([g1_at(w, b) for w in range(nwin)],
+                                self.c_bits) for b in range(4))
         x2, y2, z2 = g2w
 
         def g2_at(w):
             cc = lambda e: (e[0][:, w, 0], e[1][:, w, 0])  # noqa: E731
-            return PT.proj_to_affine_g2(cc(x2), cc(y2), cc(z2))
+            return PT.proj_g2_int(cc(x2), cc(y2), cc(z2))
 
-        pi_b = _combine_host(RG2, [g2_at(w) for w in range(nwin)],
-                             self.c_bits)
+        pi_b = G2H.combine_windows([g2_at(w) for w in range(nwin)],
+                                   self.c_bits)
 
         # randomized assembly, exactly groth16.cpp:209-246 (= ref prove)
-        pi_a = RG1.add(pi_a, self.ref_vk["alpha1"])
-        pi_a = RG1.add(pi_a, RG1.mul(self.ref_vk["delta1"], r))
-        pi_b = RG2.add(pi_b, self.ref_vk["beta2"])
-        pi_b = RG2.add(pi_b, RG2.mul(self.ref_vk["delta2"], s))
-        pib1 = RG1.add(pib1, self.ref_vk["beta1"])
-        pib1 = RG1.add(pib1, RG1.mul(self.ref_vk["delta1"], s))
-        pi_c = RG1.add(pi_c, pih)
-        pi_c = RG1.add(pi_c, RG1.mul(pi_a, s))
-        pi_c = RG1.add(pi_c, RG1.mul(pib1, r))
-        pi_c = RG1.add(pi_c, RG1.neg(RG1.mul(self.ref_vk["delta1"], rs)))
+        vk = {k: (G2H if k.endswith("2") else G1H).from_affine(v)
+              for k, v in self.ref_vk.items()}
+        pi_a = G1H.add(pi_a, vk["alpha1"])
+        pi_a = G1H.add(pi_a, G1H.mul(vk["delta1"], r))
+        pi_b = G2H.add(pi_b, vk["beta2"])
+        pi_b = G2H.add(pi_b, G2H.mul(vk["delta2"], s))
+        pib1 = G1H.add(pib1, vk["beta1"])
+        pib1 = G1H.add(pib1, G1H.mul(vk["delta1"], s))
+        pi_c = G1H.add(pi_c, pih)
+        pi_c = G1H.add(pi_c, G1H.mul(pi_a, s))
+        pi_c = G1H.add(pi_c, G1H.mul(pib1, r))
+        pi_c = G1H.add(pi_c, G1H.neg(G1H.mul(vk["delta1"], rs)))
 
         self.last_phases["host"] = time.perf_counter() - t1
         self.last_phases["total"] = time.perf_counter() - t0
 
-        proof = Proof(a=pi_a, b=pi_b, c=pi_c)
+        proof = Proof(a=G1H.to_affine(pi_a), b=G2H.to_affine(pi_b),
+                      c=G1H.to_affine(pi_c))
         publics = [_limbs_int(wit[i]) for i in range(1, self.n_public + 1)]
         return proof, publics
 
@@ -383,12 +384,3 @@ def _ref_g2_from_limbs(limbs):
     return ((x0, x1), (y0, y1))
 
 
-def _combine_host(curve_ref, window_points, c: int):
-    """Horner combine of per-window MSM totals: sum_w 2^(wc) W_w.
-    ~256 exact EC ops on the host (groth16-scale: microseconds each)."""
-    acc = None
-    for wp in reversed(window_points):
-        for _ in range(c):
-            acc = curve_ref.double(acc)
-        acc = curve_ref.add(acc, wp)
-    return acc

@@ -36,6 +36,18 @@ def _coord(limbs) -> int:
     return FQ_CTX.from_mont(limbs_to_int(np.asarray(limbs)))
 
 
+def proj_g1_int(x, y, z):
+    """Device projective (Montgomery limbs) -> plain-int projective
+    (X, Y, Z) for utils/hostcurve (no inversion)."""
+    return (_coord(x), _coord(y), _coord(z))
+
+
+def proj_g2_int(x, y, z):
+    """Fq2 projective limbs ((c0,c1) pairs) -> plain-int-pair projective."""
+    cc = lambda e: (_coord(e[0]), _coord(e[1]))  # noqa: E731
+    return (cc(x), cc(y), cc(z))
+
+
 def jac_to_affine_g1(x, y, z) -> Optional[Tuple[int, int]]:
     """Device Jacobian (Montgomery limbs) -> ref affine point."""
     zi = _coord(z)
