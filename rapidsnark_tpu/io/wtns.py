@@ -15,7 +15,7 @@ from typing import Sequence
 
 import numpy as np
 
-from ..utils.limbs import bytes_to_limbs, NBYTES
+from ..utils.limbs import bytes_to_words, NBYTES
 from .binfile import write_binfile
 
 
@@ -24,7 +24,8 @@ class Wtns:
     n8: int
     prime: int
     n_vars: int
-    values: np.ndarray  # (nVars, 16) uint32 limbs, standard form
+    values: np.ndarray  # (nVars, 8) uint32 WORDS (raw section-2
+    # payload reinterpreted), standard form
 
 
 def read_wtns(path: str) -> Wtns:
@@ -35,7 +36,9 @@ def read_wtns(path: str) -> Wtns:
         (n8,) = struct.unpack_from("<I", h, 0)
         prime = int.from_bytes(bytes(h[4:4 + n8]), "little")
         (n_vars,) = struct.unpack_from("<I", h, 4 + n8)
-        values = bytes_to_limbs(f.section_u8(2)).reshape(n_vars, 16)
+        # .copy(): bytes_to_words is a zero-copy view into the mapped
+        # file, and this reader closes (unmaps) it before returning
+        values = bytes_to_words(f.section_u8(2)).reshape(n_vars, 8).copy()
         return Wtns(n8=n8, prime=prime, n_vars=n_vars, values=values)
     finally:
         del h

@@ -33,13 +33,13 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..utils.limbs import bytes_to_limbs, NBYTES
+from ..utils.limbs import bytes_to_limbs, bytes_to_words, NBYTES
 from .binfile import BinFile, write_binfile
 
 GROTH16_PROTOCOL_ID = 1
 
 _COEF_DTYPE = np.dtype([
-    ("m", "<u4"), ("c", "<u4"), ("s", "<u4"), ("coef", "<u2", (16,)),
+    ("m", "<u4"), ("c", "<u4"), ("s", "<u4"), ("coef", "<u4", (8,)),
 ])
 
 
@@ -64,14 +64,15 @@ class ZKey:
     coef_m: np.ndarray  # (nCoefs,) uint32
     coef_c: np.ndarray
     coef_s: np.ndarray
-    coef_val: np.ndarray  # (nCoefs, 16) uint32, Montgomery Fr
-    # point tables (Montgomery Fq affine limbs)
-    points_a: np.ndarray  # (nVars, 2, 16)
-    points_b1: np.ndarray  # (nVars, 2, 16)
-    points_b2: np.ndarray  # (nVars, 4, 16)
-    points_c: np.ndarray  # (nVars - nPublic - 1, 2, 16)
-    points_h: np.ndarray  # (domainSize, 2, 16)
-    ic: Optional[np.ndarray] = None  # (nPublic+1, 2, 16)
+    coef_val: np.ndarray  # (nCoefs, 8) uint32 WORDS, Montgomery Fr
+    # point tables (Montgomery Fq affine), u32-WORD layout — a direct
+    # reinterpretation of the on-disk bytes (= the device wire format)
+    points_a: np.ndarray  # (nVars, 2, 8)
+    points_b1: np.ndarray  # (nVars, 2, 8)
+    points_b2: np.ndarray  # (nVars, 4, 8)
+    points_c: np.ndarray  # (nVars - nPublic - 1, 2, 8)
+    points_h: np.ndarray  # (domainSize, 2, 8)
+    ic: Optional[np.ndarray] = None  # (nPublic+1, 2, 8)
     # Underlying mapped file. Kept open for the lifetime of the ZKey, like
     # the reference keeps raw section pointers alive (main_prover.cpp:67-74).
     file: Optional[BinFile] = None
@@ -115,10 +116,12 @@ def read_zkey(path: str) -> ZKey:
     coef_m = np.ascontiguousarray(coef_raw["m"])
     coef_c = np.ascontiguousarray(coef_raw["c"])
     coef_s = np.ascontiguousarray(coef_raw["s"])
-    coef_val = coef_raw["coef"].astype(np.uint32)
+    coef_val = np.ascontiguousarray(coef_raw["coef"])  # (n, 8) words
 
     def points(section: int, count: int, words: int) -> np.ndarray:
-        return bytes_to_limbs(f.section_u8(section)).reshape(count, words, 16)
+        # pure byte reinterpretation: the on-disk 32-byte LE coordinates
+        # ARE the packed u32-word layout the device tables use
+        return bytes_to_words(f.section_u8(section)).reshape(count, words, 8)
 
     points_a = points(5, n_vars, 2)
     points_b1 = points(6, n_vars, 2)
@@ -205,30 +208,42 @@ def zkey_to_ref(zk: ZKey):
     """Convert parsed limb arrays to ref.groth16.ZKeyData (plain ints)."""
     from ..ref.field import FQ_CTX, P
     from ..ref.groth16 import ZKeyData
-    from ..utils.limbs import limbs_to_ints
+    from ..utils.limbs import limbs_to_ints, words_to_ints
 
-    def pt_g1(limbs) -> Optional[tuple]:
-        x, y = limbs_to_ints(limbs)
-        x, y = FQ_CTX.from_mont(x), FQ_CTX.from_mont(y)
-        return None if (x == 0 and y == 0) else (x, y)
-
-    def pt_g2(limbs) -> Optional[tuple]:
-        x0, x1, y0, y1 = [FQ_CTX.from_mont(v) for v in limbs_to_ints(limbs)]
-        if x0 == x1 == y0 == y1 == 0:
+    def _pt(vals, g2: bool) -> Optional[tuple]:
+        coords = [FQ_CTX.from_mont(v) for v in vals]
+        if all(v == 0 for v in coords):
             return None
-        return ((x0, x1), (y0, y1))
+        if g2:
+            x0, x1, y0, y1 = coords
+            return ((x0, x1), (y0, y1))
+        return tuple(coords)
+
+    # point tables are (n, k, 8) u32 WORDS; vk header points stay (k, 16)
+    # 16-bit limbs (parsed separately from section 2)
+    def pt_g1(words):
+        return _pt(words_to_ints(words), g2=False)
+
+    def pt_g2(words):
+        return _pt(words_to_ints(words), g2=True)
+
+    def vk_g1(limbs):
+        return _pt(limbs_to_ints(limbs), g2=False)
+
+    def vk_g2(limbs):
+        return _pt(limbs_to_ints(limbs), g2=True)
 
     coefs = [
         (int(m), int(c), int(s), v)
         for m, c, s, v in zip(zk.coef_m, zk.coef_c, zk.coef_s,
-                              limbs_to_ints(zk.coef_val))
+                              words_to_ints(zk.coef_val))
     ]
     return ZKeyData(
         n_vars=zk.n_vars, n_public=zk.n_public, domain_size=zk.domain_size,
         coefs=coefs,
-        vk_alpha1=pt_g1(zk.vk_alpha1), vk_beta1=pt_g1(zk.vk_beta1),
-        vk_beta2=pt_g2(zk.vk_beta2), vk_gamma2=pt_g2(zk.vk_gamma2),
-        vk_delta1=pt_g1(zk.vk_delta1), vk_delta2=pt_g2(zk.vk_delta2),
+        vk_alpha1=vk_g1(zk.vk_alpha1), vk_beta1=vk_g1(zk.vk_beta1),
+        vk_beta2=vk_g2(zk.vk_beta2), vk_gamma2=vk_g2(zk.vk_gamma2),
+        vk_delta1=vk_g1(zk.vk_delta1), vk_delta2=vk_g2(zk.vk_delta2),
         points_a=[pt_g1(p) for p in zk.points_a],
         points_b1=[pt_g1(p) for p in zk.points_b1],
         points_b2=[pt_g2(p) for p in zk.points_b2],

@@ -56,7 +56,7 @@ def _pad_points(pts: np.ndarray, npad: int) -> np.ndarray:
     if n == npad:
         return pts
     return np.concatenate(
-        [pts, np.zeros((npad - n, k, 16), np.uint32)], axis=0)
+        [pts, np.zeros((npad - n, k, 8), np.uint32)], axis=0)
 
 
 class Prover:
@@ -94,23 +94,23 @@ class Prover:
         self.window_group = window_group or config.window_group()
 
         # --- device point tables: PACKED affine, G1 stacked (8, 4, nmax)
-        # (two 16-bit limbs per u32 word: half the HBM footprint and half
-        # the sort-gather bytes on the MSM hot path, ops/msm.py)
+        # The zkey's on-disk u32 words ARE the packed device layout (two
+        # 16-bit limbs per word): no limb expansion or re-packing, just a
+        # transpose per coordinate (half the HBM footprint and half the
+        # sort-gather bytes on the MSM hot path, ops/msm.py)
         stacked = np.stack([
             _pad_points(zkey.points_h, self.nmax),
             _pad_points(zkey.points_a, self.nmax),
             _pad_points(zkey.points_b1, self.nmax),
             _pad_points(zkey.points_c, self.nmax),
-        ])                                   # (4, nmax, 2, 16)
-        x = jnp.asarray(MSM.pack_limb_rows(
-            np.moveaxis(stacked[:, :, 0, :], -1, 0)))
-        y = jnp.asarray(MSM.pack_limb_rows(
-            np.moveaxis(stacked[:, :, 1, :], -1, 0)))
+        ])                                   # (4, nmax, 2, 8)
+        x = jnp.asarray(np.moveaxis(stacked[:, :, 0, :], -1, 0))
+        y = jnp.asarray(np.moveaxis(stacked[:, :, 1, :], -1, 0))
         self.pts_g1 = (x, y)                 # leaves (8, 4, nmax)
 
-        b2 = _pad_points(zkey.points_b2, self.nmax)[None]  # (1, nmax, 4, 16)
-        cs = [jnp.asarray(MSM.pack_limb_rows(
-            np.moveaxis(b2[:, :, k, :], -1, 0))) for k in range(4)]
+        b2 = _pad_points(zkey.points_b2, self.nmax)[None]  # (1, nmax, 4, 8)
+        cs = [jnp.asarray(np.moveaxis(b2[:, :, k, :], -1, 0))
+              for k in range(4)]
         self.pts_g2 = ((cs[0], cs[1]), (cs[2], cs[3]))
 
         if mesh is not None:
@@ -136,7 +136,7 @@ class Prover:
         seg = zkey.coef_m.astype(np.int64) * n + zkey.coef_c.astype(np.int64)
         self.coef_seg = jnp.asarray(seg.astype(np.int32))
         self.coef_s = jnp.asarray(zkey.coef_s.astype(np.int32))
-        self.coef_val = jnp.asarray(zkey.coef_val)  # (nCoefs, 16) Montgomery
+        self.coef_val = jnp.asarray(zkey.coef_val)  # (nCoefs, 8) words, Montgomery
         # deferred-carry headroom: limb column sums must stay < 2^31
         counts = np.bincount(seg, minlength=2 * n)
         if counts.max(initial=0) >= (1 << 15):
@@ -192,8 +192,8 @@ class Prover:
         }
 
     def pipeline(self, witness, tables):
-        """witness: (8, nVars) PACKED standard-form limbs (pack_witness);
-        tables:
+        """witness: (8, nVars) u32 words, standard-form (Wtns.values
+        transposed); tables:
         self.tables(). Returns (g1_windows, g2_windows): per-window
         Pippenger totals, leaves (16, W, 4) / (16, W, 1) — W*5 points.
 
@@ -212,7 +212,8 @@ class Prover:
         # tunnel-bandwidth-bound (PERF.md), so only payload bytes move
         wp = jnp.take(witness, tables["coef_s"], axis=1)  # (8, nCoefs)
         w = MSM.unpack_limb_rows(wp)                      # (16, nCoefs)
-        prod = FR.mul(w, FF.unpack(tables["coef_val"]))  # standard-form
+        cv = MSM.unpack_limb_rows(tables["coef_val"].T)   # words -> limbs
+        prod = FR.mul(w, cv)                              # standard-form
 
         # limb-space scatter-add: TPU-idiomatic striped-lock replacement
         data = FF.pack(prod)                             # (nCoefs, 16)
@@ -273,11 +274,12 @@ class Prover:
 
     # -- public API ----------------------------------------------------------
 
-    def prove(self, witness_limbs: np.ndarray,
+    def prove(self, witness_words: np.ndarray,
               r: Optional[int] = None, s: Optional[int] = None
               ) -> Tuple[Proof, list]:
-        """witness_limbs: (nVars, 16) uint32 standard-form values (the wtns
-        section-2 payload). Returns (Proof, public signal ints)."""
+        """witness_words: (nVars, 8) uint32 standard-form values — the
+        wtns section-2 payload reinterpreted as LE u32 words (Wtns.values).
+        Returns (Proof, public signal ints)."""
         if r is None:
             r = sample_rs()
         if s is None:
@@ -285,9 +287,9 @@ class Prover:
         rs = r * s % R_FR  # toMontgomery(mont_mul(r,s)), groth16.cpp:241-242
         t0 = time.perf_counter()
 
-        wit = np.asarray(witness_limbs, dtype=np.uint32)
-        assert wit.shape == (self.n_vars, 16)
-        witness = jnp.asarray(pack_witness(wit))         # (8, nVars)
+        wit = np.asarray(witness_words, dtype=np.uint32)
+        assert wit.shape == (self.n_vars, 8)
+        witness = jnp.asarray(np.ascontiguousarray(wit.T))  # (8, nVars)
 
         # phase-labeled timeline mirroring the reference's LOG_TRACE
         # stages through prove() (groth16.cpp:51-202, SURVEY.md §5.1);
@@ -348,7 +350,7 @@ class Prover:
 
         proof = Proof(a=G1H.to_affine(pi_a), b=G2H.to_affine(pi_b),
                       c=G1H.to_affine(pi_c))
-        publics = [_limbs_int(wit[i]) for i in range(1, self.n_public + 1)]
+        publics = [_words_int(wit[i]) for i in range(1, self.n_public + 1)]
         return proof, publics
 
 
@@ -356,15 +358,8 @@ class Prover:
 # host-side helpers
 # ---------------------------------------------------------------------------
 
-def pack_witness(wit_n16: np.ndarray) -> np.ndarray:
-    """(nVars, 16) u32 16-bit limbs -> (8, nVars) packed upload layout
-    (contiguous; exactly the wtns payload bytes, nothing more)."""
-    packed = wit_n16[:, 0::2] | (wit_n16[:, 1::2] << 16)  # (nVars, 8)
-    return np.ascontiguousarray(packed.T)
-
-
-def _limbs_int(row) -> int:
-    return sum(int(v) << (16 * i) for i, v in enumerate(np.asarray(row)))
+def _words_int(row) -> int:
+    return sum(int(v) << (32 * i) for i, v in enumerate(np.asarray(row)))
 
 
 def _ref_g1_from_limbs(limbs):

@@ -157,7 +157,7 @@ class FullProver:
     def _thread_calculate_prove(self) -> None:
         """fullprover.cpp:103-172."""
         from ..io.wtns import read_wtns
-        from ..utils.limbs import limbs_to_ints
+        from ..utils.limbs import words_to_ints
 
         try:
             circuit = self._executing_circuit
@@ -176,7 +176,7 @@ class FullProver:
                 raise ValueError("different wtns curve")   # :141-143
 
             prover = self.provers[circuit]
-            publics = limbs_to_ints(
+            publics = words_to_ints(
                 wtns.values[1:prover.n_public + 1])
             with self._lock:
                 self._pub_data = [str(v) for v in publics]

@@ -47,6 +47,40 @@ def limbs_to_ints(a) -> list:
             for row in flat]
 
 
+NWORDS = 8
+
+
+def bytes_to_words(buf: bytes | np.ndarray) -> np.ndarray:
+    """Little-endian 32-byte field elements -> (n, 8) uint32 WORDS — a
+    pure reinterpretation of the on-disk bytes (the packed wire format
+    the device pipeline consumes; ops/msm.pack_limb_rows of the 16-limb
+    form equals exactly these words)."""
+    u8 = (np.frombuffer(buf, dtype=np.uint8)
+          if isinstance(buf, (bytes, bytearray, memoryview))
+          else np.asarray(buf, dtype=np.uint8))
+    assert u8.size % NBYTES == 0
+    if not u8.flags["C_CONTIGUOUS"]:
+        u8 = np.ascontiguousarray(u8)
+    return u8.view("<u4").reshape(-1, NWORDS)
+
+
+def words_to_ints(arr) -> list:
+    """(..., 8) uint32 words -> list of ints."""
+    a = np.asarray(arr, dtype=np.uint64)
+    flat = a.reshape(-1, NWORDS)
+    return [sum(int(row[i]) << (32 * i) for i in range(NWORDS))
+            for row in flat]
+
+
+def ints_to_words(xs) -> np.ndarray:
+    """Iterable of ints -> (n, 8) uint32 words."""
+    out = np.empty((len(xs), NWORDS), dtype=np.uint32)
+    for i, x in enumerate(xs):
+        for j in range(NWORDS):
+            out[i, j] = (x >> (32 * j)) & 0xFFFFFFFF
+    return out
+
+
 def bytes_to_limbs(buf: bytes | np.ndarray) -> np.ndarray:
     """Little-endian 32-byte field elements -> (n, 16) uint32 limbs.
 

@@ -12,7 +12,7 @@ from rapidsnark_tpu.io.zkey import read_zkey, write_zkey, zkey_to_ref
 from rapidsnark_tpu.ref import setup as S
 from rapidsnark_tpu.ref.field import FR_CTX, P, R_FR
 from rapidsnark_tpu.ref.groth16 import prove, verify
-from rapidsnark_tpu.utils.limbs import limbs_to_ints
+from rapidsnark_tpu.utils.limbs import words_to_ints
 
 from conftest import FIXTURES
 
@@ -42,7 +42,7 @@ def test_wtns_roundtrip(tmp_path):
     write_wtns(path, vals)
     w = read_wtns(path)
     assert w.n8 == 32 and w.prime == R_FR and w.n_vars == 3
-    assert limbs_to_ints(w.values) == vals
+    assert words_to_ints(w.values) == vals
 
 
 def test_zkey_fixture_parses():
@@ -52,10 +52,10 @@ def test_zkey_fixture_parses():
     assert zk.domain_size == 4  # next_pow2(1 constraint + 1 public + 1)
     # coefs: 1 A-row entry + 2 public binding rows + 1 B-row entry
     assert zk.n_coefs == 4
-    assert zk.points_a.shape == (4, 2, 16)
-    assert zk.points_b2.shape == (4, 4, 16)
-    assert zk.points_c.shape == (2, 2, 16)
-    assert zk.points_h.shape == (4, 2, 16)
+    assert zk.points_a.shape == (4, 2, 8)
+    assert zk.points_b2.shape == (4, 4, 8)
+    assert zk.points_c.shape == (2, 2, 8)
+    assert zk.points_h.shape == (4, 2, 8)
 
 
 def test_zkey_coef_section_matches_reference_layout():
@@ -89,13 +89,13 @@ def test_zkey_roundtrip_prove_verify(tmp_path):
 
 def test_fixture_wtns_satisfies_circuit():
     zk = zkey_to_ref(read_zkey(os.path.join(FIXTURES, "sqchain64.zkey")))
-    w = limbs_to_ints(read_wtns(os.path.join(FIXTURES, "sqchain64.wtns")).values)
+    w = words_to_ints(read_wtns(os.path.join(FIXTURES, "sqchain64.wtns")).values)
     proof = prove(zk, w, r=5, s=6)
     assert verify(zk, proof, w[1:2])
 
 
 def test_coef_values_are_montgomery():
     zk = read_zkey(os.path.join(FIXTURES, "multiplier.zkey"))
-    vals = limbs_to_ints(zk.coef_val)
+    vals = words_to_ints(zk.coef_val)
     # all fixture coefficients are 1 or small negatives in plain form
     assert FR_CTX.from_mont(vals[0]) == 1

@@ -61,7 +61,7 @@ def test_mesh_prover_bit_identical():
     from rapidsnark_tpu.io.zkey import read_zkey, zkey_to_ref
     from rapidsnark_tpu.prover import Prover
     from rapidsnark_tpu.ref.groth16 import prove as ref_prove
-    from rapidsnark_tpu.utils.limbs import limbs_to_ints
+    from rapidsnark_tpu.utils.limbs import words_to_ints
 
     mesh = Mesh(np.array(jax.devices()), ("shard",))
     zk = read_zkey(os.path.join(FIXTURES, "sqchain64.zkey"))
@@ -70,7 +70,7 @@ def test_mesh_prover_bit_identical():
     assert prover.dntt_plan is not None  # domain 128 splits over 8 devs
     r, s = 31415926, 27182818
     proof, pub = prover.prove(wt.values, r=r, s=s)
-    expect = ref_prove(zkey_to_ref(zk), limbs_to_ints(wt.values), r=r, s=s)
+    expect = ref_prove(zkey_to_ref(zk), words_to_ints(wt.values), r=r, s=s)
     assert proof.a == expect.a and proof.b == expect.b \
         and proof.c == expect.c
 

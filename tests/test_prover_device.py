@@ -13,7 +13,7 @@ from rapidsnark_tpu.io.wtns import read_wtns
 from rapidsnark_tpu.io.zkey import read_zkey, zkey_to_ref
 from rapidsnark_tpu.prover import Prover
 from rapidsnark_tpu.ref.groth16 import prove as ref_prove, verify as ref_verify
-from rapidsnark_tpu.utils.limbs import limbs_to_ints
+from rapidsnark_tpu.utils.limbs import words_to_ints
 
 from conftest import FIXTURES
 
@@ -27,7 +27,7 @@ def _run(fixture: str):
     proof, publics = prover.prove(wt.values, r=R, s=S)
 
     ref_zk = zkey_to_ref(zk)
-    witness = limbs_to_ints(wt.values)
+    witness = words_to_ints(wt.values)
     expect = ref_prove(ref_zk, witness, r=R, s=S)
 
     assert proof.a == expect.a, "pi_a mismatch"
