@@ -4,6 +4,9 @@ replaces its hardcoded knobs with env-var-backed settings).
 
     RSTPU_WINDOW_BITS    Pippenger window size c (default: auto by n)
     RSTPU_WINDOW_GROUP   windows batched per MSM scan step (default 4)
+    RSTPU_MSM_SEGMENT    points per MSM bucket-accumulation slice
+                         (default: auto — caps the prefix-scan working
+                         set for 2^22+ tables; 0 disables)
     RSTPU_CACHE          compilation cache dir ("0" disables)
     RSTPU_LOG_LEVEL      error|info|trace|debug
     RSTPU_LOG_FILE       log sink path (default console)
@@ -26,3 +29,15 @@ def window_bits() -> Optional[int]:
 
 def window_group() -> int:
     return _int_env("RSTPU_WINDOW_GROUP") or 4
+
+
+def msm_segment(n: int) -> int:
+    """Bucket-accumulation slice length for an n-point MSM (0 = whole).
+
+    The scan's all-positions prefix output is ~192 bytes per
+    (point, window-in-group, msm-row); past 2^21 points the un-sliced
+    working set crowds HBM next to the resident tables."""
+    v = _int_env("RSTPU_MSM_SEGMENT")
+    if v is not None:
+        return v
+    return (1 << 20) if n > (1 << 21) else 0

@@ -242,15 +242,19 @@ def signed_window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
-def best_window_bits(n: int) -> int:
+def best_window_bits(n: int, segment: int = 0) -> int:
     """Pick c minimizing the measured cost model of this formulation
     (PERF.md): per window, sort+gather+scan ~ n lane-adds and the bucket
     phase ~ 18 * 2^(c-1) point-equivalents (fitted on v5e at 2^18;
-    signed digits: bucket range is 2^(c-1))."""
+    signed digits: bucket range is 2^(c-1)). With segmentation, each of
+    the n/segment slices pays a ~8 * 2^(c-1) bucket extraction and the
+    weighted pass is paid once."""
+    nseg = max(n // segment, 1) if segment else 1
     best, best_cost = 1, None
     for c in range(1, 17):
         nwin = -(-SCALAR_BITS // c)
-        cost = nwin * (n + 18 * (1 << (c - 1)))
+        bucket = (10 + 8 * nseg) * (1 << (c - 1))
+        cost = nwin * (n + bucket)
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best
@@ -265,6 +269,15 @@ def _window_group(curve: CurveOps, pts, digits, n: int, c: int):
     ENCODED signed digits (signed_window_digits), pts: PACKED affine
     pytree, leaves (8, *batch, n). Returns a Jacobian point with batch
     (G, *batch)."""
+    buckets = _group_buckets(curve, pts, digits, n, c)
+    return _weighted_total(curve, buckets, c)
+
+
+def _group_buckets(curve: CurveOps, pts, digits, n: int, c: int):
+    """Per-bucket sums B_j (j = |digit|) for a group of windows:
+    sort -> packed gather -> signed prefix scan -> boundary differences.
+    Returns a Jacobian point with batch (G, *batch, 2^(c-1)+1); B_0 is
+    garbage (discarded by _weighted_total)."""
     bshape = digits.shape[:-1]       # (G, *batch)
     nbuckets = (1 << (c - 1)) + 1    # |d| in [0, 2^(c-1)]
     # ONE sort pass yields both the sorted digits and the permutation
@@ -293,11 +306,15 @@ def _window_group(curve: CurveOps, pts, digits, n: int, c: int):
                 jnp.concatenate([cum, lo_idx], axis=-1))
     hi = _pt_map(ps, lambda a: a[..., :nbuckets])
     lo = _pt_map(ps, lambda a: a[..., nbuckets:])
-    buckets = _add(curve, hi, curve.neg(lo))  # (G, nbuckets); B_0 unused
+    return _add(curve, hi, curve.neg(lo))  # batch (G, *batch, nbuckets)
 
-    # sum_j j*B_j = sum_{j>=1} S_j with S_j = sum_{k>=j} B_k: two identical
-    # prefix passes (suffix sums, then their running total) — shared
-    # instantiation through an outer fori_loop.
+
+def _weighted_total(curve: CurveOps, buckets, c: int):
+    """sum_j j*B_j over bucket sums (leaves (16, ..., 2^(c-1)+1); B_0
+    ignored) = sum_{j>=1} S_j with S_j = sum_{k>=j} B_k: two identical
+    prefix passes (suffix sums, then their running total) — shared
+    instantiation through an outer fori_loop."""
+    nbuckets = (1 << (c - 1)) + 1
     brev = _pt_map(buckets, lambda a: a[..., 1:][..., ::-1])
     total = jax.lax.fori_loop(
         0, 2, lambda _, x: _hillis_prefix(curve, x, nbuckets - 1), brev)
@@ -331,7 +348,7 @@ def _combine_windows(curve: CurveOps, wpts, nwin: int, c: int):
 
 
 def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
-        window_group: int = 4, combine: bool = True):
+        window_group: int = 4, combine: bool = True, segment: int = 0):
     """Multi-scalar multiplication, batched over leading axes.
 
     pts: PACKED affine point pytree, leaves (8, *batch, n) — two 16-bit
@@ -348,6 +365,12 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     Independent MSMs of equal length should ride the batch axes: the
     prover fuses its four G1 MSMs (groth16.cpp:173-204) into one call,
     which widens every sequential scan step 4x.
+
+    `segment` (a multiple of _CHUNK dividing n, 0 = off) processes the
+    point axis in n/segment slices, accumulating BUCKET sums across
+    slices before the one weighted suffix pass per window group — this
+    bounds the prefix-scan working set (the all-positions `within`
+    array is ~192*G*B bytes per point) so 2^24-scale MSMs fit in HBM.
     """
     n = scalars.shape[-2]
     bshape = scalars.shape[:-2]
@@ -358,8 +381,29 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
         G_ -= 1
     dgroups = digits.reshape((nwin // G_, G_) + bshape + (n,))
 
-    def step(_, dg):
-        return None, _window_group(curve, pts, dg, n, c)
+    if segment and segment < n:
+        assert n % segment == 0 and segment % _CHUNK == 0
+        S = n // segment
+
+        def step(_, dg):
+            nb = (1 << (c - 1)) + 1
+            acc0 = curve.inf((G_,) + bshape + (nb,))
+
+            def seg_step(acc, i):
+                off = i * segment
+                pseg = _pt_map(pts, lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, off, segment, axis=a.ndim - 1))
+                dseg = jax.lax.dynamic_slice_in_dim(
+                    dg, off, segment, axis=dg.ndim - 1)
+                b = _group_buckets(curve, pseg, dseg, segment, c)
+                return _add(curve, acc, b), None
+
+            acc, _ = jax.lax.scan(seg_step, acc0,
+                                  jnp.arange(S, dtype=jnp.int32))
+            return None, _weighted_total(curve, acc, c)
+    else:
+        def step(_, dg):
+            return None, _window_group(curve, pts, dg, n, c)
 
     _, wg = jax.lax.scan(step, None, dgroups)  # leaves (W/G, 16, G, *batch)
     wpts = _pt_map(

@@ -104,40 +104,43 @@ class NTTPlan:
         return out
 
 
-def _split_lohi(x, half: int):
-    """Static butterfly pairing: lane = j*(2*half) + b*half + t, partner
-    = lane XOR half — a reshape, never a gather."""
+def _apply_stage(x, tw, half: int, stride: int, dif: bool):
+    """One butterfly layer: pairs (lane, lane XOR half) by STATIC
+    reshape, never a gather. When half is below the 128-lane tile, the
+    (nblk, 2, half) view is swapped to (half, 2, nblk) so the trailing
+    axis stays tile-sized — small trailing axes get up to 8x layout
+    padding on TPU, which OOMs 2^22-scale transforms."""
+    from . import fused
     n = x.shape[-1]
-    xv = x.reshape(x.shape[:-1] + (n // (2 * half), 2, half))
-    return xv[..., 0, :], xv[..., 1, :]
-
-
-def _merge_lohi(lo, hi):
-    y = jnp.stack([lo, hi], axis=-2)  # (..., nblk, 2, half)
-    return y.reshape(y.shape[:-3] + (-1,))
-
-
-def _tw_for(tw, half: int, stride: int, like):
-    """(16, half)-strided twiddle slice broadcast to lo's shape."""
-    tws = tw[:, ::stride][:, :half]
-    shape = (16,) + (1,) * (like.ndim - 2) + (half,)
-    return jnp.broadcast_to(tws.reshape(shape), like.shape)
+    nblk = n // (2 * half)
+    bshape = x.shape[:-1]
+    tws = tw[:, ::stride][:, :half]              # (16, half)
+    xv = x.reshape(bshape + (nblk, 2, half))
+    swap = half < 128 <= nblk
+    if swap:
+        xv = jnp.swapaxes(xv, -1, -3)            # (..., half, 2, nblk)
+    lo, hi = xv[..., 0, :], xv[..., 1, :]
+    if swap:
+        shape = (16,) + (1,) * (lo.ndim - 3) + (half, 1)
+    else:
+        shape = (16,) + (1,) * (lo.ndim - 2) + (half,)
+    twl = jnp.broadcast_to(tws.reshape(shape), lo.shape)
+    lo, hi = fused.ntt_butterfly(lo, hi, twl, dif=dif)
+    y = jnp.stack([lo, hi], axis=-2)
+    if swap:
+        y = jnp.swapaxes(y, -1, -3)
+    return y.reshape(bshape + (n,))
 
 
 def _stages_dit(x, tw):
     """Decimation-in-time stages: BIT-REVERSED input -> natural output.
     x: (16, *batch, N); tw: (16, N/2) Montgomery twiddles. Every stage
     is one fused butterfly kernel over n/2 lanes (ops/fused.py)."""
-    from . import fused
     n = x.shape[-1]
     logn = n.bit_length() - 1
     tw = jnp.asarray(tw)
     for s in range(logn):
-        half = 1 << s
-        lo, hi = _split_lohi(x, half)
-        twl = _tw_for(tw, half, 1 << (logn - 1 - s), lo)
-        lo, hi = fused.ntt_butterfly(lo, hi, twl, dif=False)
-        x = _merge_lohi(lo, hi)
+        x = _apply_stage(x, tw, 1 << s, 1 << (logn - 1 - s), dif=False)
     return x
 
 
@@ -146,16 +149,11 @@ def _stages_dif(x, tw):
     output. With inverse twiddles this is the unscaled inverse DFT —
     DIF + (elementwise work) + DIT composes with NO bit-reversal
     permutations at all (the coset pipeline below)."""
-    from . import fused
     n = x.shape[-1]
     logn = n.bit_length() - 1
     tw = jnp.asarray(tw)
     for k in range(logn):
-        half = 1 << (logn - 1 - k)
-        lo, hi = _split_lohi(x, half)
-        twl = _tw_for(tw, half, 1 << k, lo)
-        lo, hi = fused.ntt_butterfly(lo, hi, twl, dif=True)
-        x = _merge_lohi(lo, hi)
+        x = _apply_stage(x, tw, 1 << (logn - 1 - k), 1 << k, dif=True)
     return x
 
 

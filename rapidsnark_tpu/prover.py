@@ -89,8 +89,11 @@ class Prover:
             self.nmax = pmsm.pad_len_sharded(
                 max(self.domain, self.n_vars), mesh.shape[pmsm.AXIS])
         from . import config
+        self.segment = config.msm_segment(self.nmax)
+        if self.segment and self.nmax % self.segment:
+            self.segment = 0  # odd sizes: fall back to whole-axis scan
         self.c_bits = (window_bits or config.window_bits()
-                       or MSM.best_window_bits(self.nmax))
+                       or MSM.best_window_bits(self.nmax, self.segment))
         self.window_group = window_group or config.window_group()
 
         # --- device point tables: PACKED affine, G1 stacked (8, 4, nmax)
@@ -169,7 +172,8 @@ class Prover:
                                              mesh.devices.flat))
         self._config_key = (self.n_vars, self.n_public, self.domain,
                             self.n_c, self.nmax, self.c_bits,
-                            self.window_group, zkey.n_coefs, mesh_key)
+                            self.window_group, self.segment,
+                            zkey.n_coefs, mesh_key)
 
     def __hash__(self):
         return hash(self._config_key)
@@ -255,9 +259,11 @@ class Prover:
         # --- MSMs: four G1 in one batched call + one G2 -------------------
         if self.mesh is None:
             g1w = MSM.msm(G1P, tables["pts_g1"], g1_sc, self.c_bits,
-                          self.window_group, combine=False)
+                          self.window_group, combine=False,
+                          segment=self.segment)
             g2w = MSM.msm(G2P, tables["pts_g2"], wit_row[None], self.c_bits,
-                          self.window_group, combine=False)
+                          self.window_group, combine=False,
+                          segment=self.segment)
         else:
             from .parallel import pmsm
             g1w = pmsm.msm_sharded(G1P, tables["pts_g1"], g1_sc, self.c_bits,

@@ -89,6 +89,27 @@ def test_window_digits_reconstruct():
             assert got == k, f"c={c}"
 
 
+def test_msm_segmented_matches_whole():
+    # bucket accumulation across point-axis slices == one-shot scan
+    import jax
+    from rapidsnark_tpu.ops.curve import G1P
+    n = 21
+    pts, ks, arr = _g1_case(n)
+    npad2 = 2 * M._CHUNK  # two slices
+    arr2 = np.concatenate(
+        [arr, np.zeros((npad2 - n, 2, 16), np.uint32)], axis=0)
+    dev_pts = M.prepare_g1(arr2)
+    sc = M.pad_scalars(ints_to_limbs(ks), npad2)
+    whole = _host_g1p(jax.jit(
+        lambda p, s: M.msm(G1P, p, s, 4, 4))(dev_pts, sc))
+    seg = _host_g1p(jax.jit(
+        lambda p, s: M.msm(G1P, p, s, 4, 4, segment=M._CHUNK)
+    )(dev_pts, sc))
+    expect = refc.G1.msm(pts, ks)
+    assert refc.G1.eq(whole, expect)
+    assert refc.G1.eq(seg, expect)
+
+
 def test_signed_window_digits_reconstruct():
     # Fr-sized scalars (< 2^254): the signed recode's no-top-carry bound
     ks = [rng.randrange(R_FR) for _ in range(7)]

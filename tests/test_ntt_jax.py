@@ -32,6 +32,17 @@ def test_ntt_matches_spec():
     assert got == refntt.fft(a)
 
 
+def test_ntt_matches_spec_swapped_layout():
+    # N=512: stages with half < 128 <= nblk take the swapped-orientation
+    # butterfly layout (the anti-padding path, ops/ntt._apply_stage)
+    n = 512
+    plan = NTTPlan(9, with_coset=False)
+    arrays = plan.arrays()
+    a = [rng.randrange(R_FR) for _ in range(n)]
+    got = _host(jax.jit(lambda x: ntt(x, arrays))(_dev(a)))
+    assert got == refntt.fft(a)
+
+
 def test_intt_roundtrip():
     n = 32
     plan = NTTPlan(5)

@@ -7,8 +7,9 @@ inversion per domain element and one double-and-add per point — fine at
 (deterministic, seeded toxic waste) using:
 
   * Montgomery batch inversion on the host (1 inversion total per array),
-  * the device batched scalar ladder (ops/curve.scalar_mul over 2^k
-    lanes) for the fixed-base G1/G2 point tables,
+  * 4-bit-windowed fixed-base point generation on device (64 fused
+    mixed adds per lane against a host-built 1024-entry window table)
+    for the G1/G2 point tables,
   * vectorized numpy for byte packing.
 
 Usage: python tools/gen_big_fixture.py [log2_steps] [outdir]
@@ -48,47 +49,117 @@ def batch_inv(vals, mod):
     return out
 
 
-def device_fixed_base_g1(scalars):
-    """[k]G1 for a list of plain ints, batched on device. Returns a list
-    of ref affine points (None = infinity)."""
-    import jax.numpy as jnp
-    from rapidsnark_tpu.ops.curve import G1
-    from rapidsnark_tpu.utils.limbs import ints_to_limbs
+_WBITS = 4      # fixed-base window width
+_NWIN = 64      # 256 / _WBITS
+_CH = 1 << 17   # scalars per device chunk
 
-    gx = FQ_CTX.to_mont(G1_GEN[0])
-    gy = FQ_CTX.to_mont(G1_GEN[1])
+
+def _ints_to_words_np(chunk):
+    """List of ints -> (b, 8) u32 words via one bytes pass."""
+    buf = b"".join(v.to_bytes(32, "little") for v in chunk)
+    return np.frombuffer(buf, dtype="<u4").reshape(len(chunk), 8).copy()
+
+
+def _limbs_to_plain(a):
+    """(16, b) Montgomery limb array -> list of b plain ints."""
+    from rapidsnark_tpu.utils.limbs import words_to_ints
+    packed = np.ascontiguousarray((a[0::2] | (a[1::2] << 16)).T)  # (b, 8)
+    return [FQ_CTX.from_mont(v) for v in words_to_ints(packed)]
+
+
+def _g1_window_table():
+    """Device table T[:, w*16 + d] = packed affine of (d << 4w) * G1
+    ((0,0) = infinity for d = 0). Host-built with projective int math."""
+    import jax.numpy as jnp
+    from rapidsnark_tpu.utils.hostcurve import G1H
+    from rapidsnark_tpu.utils.points import g1_affine_to_mont_limbs
+
+    entries = []
+    base = G1H.from_affine(G1_GEN)
+    for _ in range(_NWIN):
+        acc = G1H.inf()
+        for _ in range(1 << _WBITS):
+            entries.append(G1H.to_affine(acc))
+            acc = G1H.add(acc, base)
+        for _ in range(_WBITS):
+            base = G1H.double(base)
+    arr = np.stack([g1_affine_to_mont_limbs(p) for p in entries])
+    # (1024, 2, 16) limbs -> packed (8, 1024) per coordinate
+    def coord(k):
+        a = np.moveaxis(arr[:, k], -1, 0)           # (16, 1024)
+        return jnp.asarray(a[0::2] | (a[1::2] << 16))
+    return coord(0), coord(1)
+
+
+import functools
+
+
+@functools.cache
+def _g1_chunk_fn():
+    """ONE jitted windowed evaluator shared by every G1 table (the
+    window table rides as a jit argument, so tables compile once)."""
+    import jax
+    from rapidsnark_tpu.ops import fused
+    from rapidsnark_tpu.ops import msm as M
+    from rapidsnark_tpu.ops.curve import G1P
+
+    @jax.jit
+    def chunk_fn(words, tx, ty):
+        digits = M.window_digits(words, _WBITS)      # (64, b) in [0,16)
+        b = words.shape[0]
+
+        def body(w, acc):
+            idx = w * (1 << _WBITS) + jax.lax.dynamic_index_in_dim(
+                digits, w, axis=0, keepdims=False)
+            q = (tx[:, idx], ty[:, idx])             # packed affine
+            return fused.add_mixed_packed(G1P, acc, q)
+
+        return jax.lax.fori_loop(0, _NWIN, body, G1P.inf((b,)))
+
+    return chunk_fn
+
+
+@functools.cache
+def _g1_table_cached():
+    return _g1_window_table()
+
+
+def device_fixed_base_g1(scalars):
+    """[k]G1 for a list of plain ints, batched on device: 4-bit windowed
+    fixed-base (64 fused mixed adds per scalar lane — ~30x the 512-step
+    generic ladder this replaces). Returns ref affine points (None =
+    infinity)."""
+    import jax.numpy as jnp
+
+    tx, ty = _g1_table_cached()
+    fn = _g1_chunk_fn()
+
+    def chunk_fn(words):
+        return fn(words, tx, ty)
+
     out = []
-    CH = 1 << 14
-    for lo in range(0, len(scalars), CH):
-        chunk = scalars[lo:lo + CH]
+    for lo in range(0, len(scalars), _CH):
+        chunk = scalars[lo:lo + _CH]
         b = len(chunk)
-        base = (jnp.broadcast_to(jnp.asarray(
-                    ints_to_limbs([gx])[0])[:, None], (16, b)),
-                jnp.broadcast_to(jnp.asarray(
-                    ints_to_limbs([gy])[0])[:, None], (16, b)))
-        jac = G1.scalar_mul(G1.from_affine(*base),
-                            jnp.asarray(ints_to_limbs(chunk)))
-        xs, ys, zs = [np.asarray(v) for v in jac]
+        if b < _CH:  # pad: ONE compiled shape for every table/tail
+            chunk = list(chunk) + [0] * (_CH - b)
+        xs, ys, zs = [np.asarray(v)[:, :b] for v in
+                      chunk_fn(jnp.asarray(_ints_to_words_np(chunk)))]
         # batch the affine conversion: one inversion for the chunk
-        zints = [sum(int(zs[j, i]) << (16 * j) for j in range(16))
-                 for i in range(b)]
-        zplain = [FQ_CTX.from_mont(z) for z in zints]
+        zplain = _limbs_to_plain(zs)
         nz = [(i, z) for i, z in enumerate(zplain) if z != 0]
         invs = batch_inv([z for _, z in nz], P)
+        xplain = _limbs_to_plain(xs)
+        yplain = _limbs_to_plain(ys)
         res = [None] * b
         for (i, _), zi in zip(nz, invs):
-            x = FQ_CTX.from_mont(
-                sum(int(xs[j, i]) << (16 * j) for j in range(16)))
-            y = FQ_CTX.from_mont(
-                sum(int(ys[j, i]) << (16 * j) for j in range(16)))
-            z2 = zi * zi % P
-            res[i] = (x * z2 % P, y * z2 % P * zi % P)
+            res[i] = (xplain[i] * zi % P, yplain[i] * zi % P)
         out.extend(res)
     return out
 
 
 def fast_setup(r1cs, seed="rapidsnark-tpu-test"):
-    """ref.setup.setup with batched inversions + device point ladders.
+    """ref.setup.setup with batched inversions + device windowed tables.
     Produces identical output for the same seed (same formulas)."""
     from rapidsnark_tpu.ref.groth16 import ZKeyData
     from rapidsnark_tpu.ref.curve import G2
@@ -188,43 +259,82 @@ def fast_setup(r1cs, seed="rapidsnark-tpu-test"):
     )
 
 
+def _g2_window_table():
+    """Device table of (d << 4w) * G2 packed affine coords."""
+    import jax.numpy as jnp
+    from rapidsnark_tpu.utils.hostcurve import G2H
+    from rapidsnark_tpu.utils.points import g2_affine_to_mont_limbs
+
+    entries = []
+    base = G2H.from_affine(G2_GEN)
+    for _ in range(_NWIN):
+        acc = G2H.inf()
+        for _ in range(1 << _WBITS):
+            entries.append(G2H.to_affine(acc))
+            acc = G2H.add(acc, base)
+        for _ in range(_WBITS):
+            base = G2H.double(base)
+    arr = np.stack([g2_affine_to_mont_limbs(p) for p in entries])
+
+    def coord(k):
+        a = np.moveaxis(arr[:, k], -1, 0)
+        return jnp.asarray(a[0::2] | (a[1::2] << 16))
+    return tuple(coord(k) for k in range(4))
+
+
+@functools.cache
+def _g2_chunk_fn():
+    import jax
+    from rapidsnark_tpu.ops import fused
+    from rapidsnark_tpu.ops import msm as M
+    from rapidsnark_tpu.ops.curve import G2P
+
+    @jax.jit
+    def chunk_fn(words, x0t, x1t, y0t, y1t):
+        digits = M.window_digits(words, _WBITS)
+        b = words.shape[0]
+
+        def body(w, acc):
+            idx = w * (1 << _WBITS) + jax.lax.dynamic_index_in_dim(
+                digits, w, axis=0, keepdims=False)
+            q = ((x0t[:, idx], x1t[:, idx]), (y0t[:, idx], y1t[:, idx]))
+            return fused.add_mixed_packed(G2P, acc, q)
+
+        return jax.lax.fori_loop(0, _NWIN, body, G2P.inf((b,)))
+
+    return chunk_fn
+
+
 def _device_fixed_base_g2(scalars):
     import jax.numpy as jnp
-    from rapidsnark_tpu.ops.curve import G2
     from rapidsnark_tpu.ref.field import fq2_inv, fq2_mul
-    from rapidsnark_tpu.utils.limbs import ints_to_limbs
 
-    (gx0, gx1), (gy0, gy1) = G2_GEN
-    mont = FQ_CTX.to_mont
+    tabs = _g2_window_table()
+    fn = _g2_chunk_fn()
+
+    def chunk_fn(words):
+        return fn(words, *tabs)
+
     out = []
-    CH = 1 << 13
-    for lo in range(0, len(scalars), CH):
-        chunk = scalars[lo:lo + CH]
+    for lo in range(0, len(scalars), _CH // 2):
+        chunk = scalars[lo:lo + _CH // 2]
         b = len(chunk)
-
-        def bc(v):
-            return jnp.broadcast_to(
-                jnp.asarray(ints_to_limbs([mont(v)])[0])[:, None], (16, b))
-
-        base = G2.from_affine((bc(gx0), bc(gx1)), (bc(gy0), bc(gy1)))
-        jac = G2.scalar_mul(base, jnp.asarray(ints_to_limbs(chunk)))
+        if b < _CH // 2:
+            chunk = list(chunk) + [0] * (_CH // 2 - b)
+        proj = chunk_fn(jnp.asarray(_ints_to_words_np(chunk)))
         (x0, x1), (y0, y1), (z0, z1) = [
-            tuple(np.asarray(c) for c in coord) for coord in jac]
-
-        def toint(a, i):
-            return FQ_CTX.from_mont(
-                sum(int(a[j, i]) << (16 * j) for j in range(16)))
-
+            tuple(np.asarray(c)[:, :b] for c in coord) for coord in proj]
+        z0p, z1p = _limbs_to_plain(z0), _limbs_to_plain(z1)
+        x0p, x1p = _limbs_to_plain(x0), _limbs_to_plain(x1)
+        y0p, y1p = _limbs_to_plain(y0), _limbs_to_plain(y1)
         for i in range(b):
-            zq = (toint(z0, i), toint(z1, i))
+            zq = (z0p[i], z1p[i])
             if zq == (0, 0):
                 out.append(None)
                 continue
-            xq = (toint(x0, i), toint(x1, i))
-            yq = (toint(y0, i), toint(y1, i))
             zi = fq2_inv(zq)
-            z2 = fq2_mul(zi, zi)
-            out.append((fq2_mul(xq, z2), fq2_mul(yq, fq2_mul(z2, zi))))
+            out.append((fq2_mul((x0p[i], x1p[i]), zi),
+                        fq2_mul((y0p[i], y1p[i]), zi)))
     return out
 
 
