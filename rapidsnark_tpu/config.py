@@ -31,6 +31,16 @@ def window_group() -> int:
     return _int_env("RSTPU_WINDOW_GROUP") or 4
 
 
+def ntt_sequential(power: int) -> bool:
+    """Transform a/b/c one at a time (1/3 the NTT stage temporaries).
+    Default: domains of 2^23+ (HBM pressure next to the point tables);
+    RSTPU_NTT_SEQ=1/0 overrides."""
+    v = os.environ.get("RSTPU_NTT_SEQ")
+    if v is not None:
+        return v != "0"
+    return power >= 23
+
+
 def msm_segment(n: int) -> int:
     """Bucket-accumulation slice length for an n-point MSM (0 = whole).
 

@@ -215,6 +215,69 @@ def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(rows).astype(jnp.int32)
 
 
+def _raw_digit(scalars: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
+    """Window w's unsigned c-bit digit from PACKED scalars (*b, n, 8)."""
+    mask = jnp.uint32((1 << c) - 1)
+    off_bits = w * c
+    word, off = divmod(off_bits, 32)
+    v = (scalars[..., word] >> off) if word < 8 else jnp.zeros(
+        scalars.shape[:-1], jnp.uint32)
+    if off and word + 1 < 8:
+        v = v | (scalars[..., word + 1] << (32 - off))
+    return (v & mask).astype(jnp.int32)
+
+
+def signed_digit_carries(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Per-window carry bits of the signed recode, packed as one u32
+    bitmask per scalar (bit w = carry INTO window w).
+
+    Memory lever for 2^24-scale MSMs: materializing all W encoded digit
+    rows is W*4 bytes/point (5+ GB); with this mask the scan recomputes
+    each window group's digits on the fly (cheap bit extraction) from
+    the scalars it already holds."""
+    nwin = -(-SCALAR_BITS // c)
+    assert nwin <= 64
+    half = 1 << (c - 1)
+    bits = [jnp.zeros(scalars.shape[:-1], jnp.uint32) for _ in range(2)]
+    carry = jnp.zeros(scalars.shape[:-1], jnp.int32)
+    for w in range(nwin):
+        d = _raw_digit(scalars, w, c) + carry
+        neg = d >= half
+        carry = neg.astype(jnp.int32)
+        if w + 1 < nwin:
+            word, bit = divmod(w + 1, 32)
+            bits[word] = bits[word] | (carry.astype(jnp.uint32) << bit)
+    return jnp.stack(bits)  # (2, *b, n)
+
+
+def group_signed_digits(scalars9, carry_bits, w0, G: int, c: int):
+    """ENCODED signed digits (|d|*2 + neg) for windows w0..w0+G-1;
+    w0 may be TRACED (the window-group scan index — digits are computed
+    inside the scan instead of materialized for all W windows at once).
+    scalars9: (*b, n, 9) — packed scalars with one zero pad word so the
+    straddling 2-word dynamic slice never clamps; carry_bits:
+    (2, *b, n) u32 (64 window-carry bits). Returns (G, *b, n) int32."""
+    half, full = 1 << (c - 1), 1 << c
+    w0 = jnp.asarray(w0, jnp.int32)
+    rows = []
+    for j in range(G):
+        w = w0 + j
+        off_bits = w * c
+        word = off_bits // 32
+        off = (off_bits - word * 32).astype(jnp.uint32)
+        sl = jax.lax.dynamic_slice_in_dim(scalars9, word, 2, axis=-1)
+        lo, hi = sl[..., 0], sl[..., 1]
+        v = (lo >> off) | jnp.where(off > 0, hi << (32 - off), 0)
+        d = (v & jnp.uint32(full - 1)).astype(jnp.int32)
+        cw = jnp.where(w < 32, carry_bits[0] >> w,
+                       carry_bits[1] >> jnp.maximum(w - 32, 0))
+        d = d + (cw & 1).astype(jnp.int32)
+        neg = d >= half
+        dd = jnp.where(neg, d - full, d)
+        rows.append(jnp.abs(dd) * 2 + (dd < 0))
+    return jnp.stack(rows)
+
+
 def signed_window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     """Signed-digit recoding, ENCODED as |d|*2 + (d<0).
 
@@ -374,18 +437,23 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     """
     n = scalars.shape[-2]
     bshape = scalars.shape[:-2]
-    digits = signed_window_digits(scalars, c)  # (W, *batch, n) encoded
-    nwin = digits.shape[0]
+    nwin = -(-SCALAR_BITS // c)
     G_ = min(window_group, nwin)
     while nwin % G_:
         G_ -= 1
-    dgroups = digits.reshape((nwin // G_, G_) + bshape + (n,))
+    # digits are (re)computed per window group inside the scan — one u32
+    # carry bitmask per scalar instead of W int32 digit rows (a 2^24-
+    # scale MSM cannot hold the full digit tensor next to the tables)
+    carries = signed_digit_carries(scalars, c)
+    s9 = jnp.concatenate(
+        [scalars, jnp.zeros(bshape + (n, 1), jnp.uint32)], axis=-1)
 
     if segment and segment < n:
         assert n % segment == 0 and segment % _CHUNK == 0
         S = n // segment
 
-        def step(_, dg):
+        def step(_, ig):
+            dg = group_signed_digits(s9, carries, ig * G_, G_, c)
             nb = (1 << (c - 1)) + 1
             acc0 = curve.inf((G_,) + bshape + (nb,))
 
@@ -402,10 +470,12 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
                                   jnp.arange(S, dtype=jnp.int32))
             return None, _weighted_total(curve, acc, c)
     else:
-        def step(_, dg):
+        def step(_, ig):
+            dg = group_signed_digits(s9, carries, ig * G_, G_, c)
             return None, _window_group(curve, pts, dg, n, c)
 
-    _, wg = jax.lax.scan(step, None, dgroups)  # leaves (W/G, 16, G, *batch)
+    _, wg = jax.lax.scan(step, None,
+                         jnp.arange(nwin // G_, dtype=jnp.int32))
     wpts = _pt_map(
         wg, lambda a: jnp.moveaxis(a, 0, 1).reshape((16, nwin) + bshape))
     if not combine:

@@ -89,6 +89,7 @@ class Prover:
             self.nmax = pmsm.pad_len_sharded(
                 max(self.domain, self.n_vars), mesh.shape[pmsm.AXIS])
         from . import config
+        self.ntt_seq = config.ntt_sequential(self.power)
         self.segment = config.msm_segment(self.nmax)
         if self.segment and self.nmax % self.segment:
             self.segment = 0  # odd sizes: fall back to whole-axis scan
@@ -172,7 +173,7 @@ class Prover:
                                              mesh.devices.flat))
         self._config_key = (self.n_vars, self.n_public, self.domain,
                             self.n_c, self.nmax, self.c_bits,
-                            self.window_group, self.segment,
+                            self.window_group, self.segment, self.ntt_seq,
                             zkey.n_coefs, mesh_key)
 
     def __hash__(self):
@@ -241,6 +242,14 @@ class Prover:
                 tables["ntt"]["coset"][:, None, :], polys.shape)
             polys = FR.mul(polys, shift)
             polys = dntt(polys, tables["dntt"], self.dntt_plan, self.mesh)
+        elif self.ntt_seq:
+            # big domains: a/b/c transformed SEQUENTIALLY (lax.map) —
+            # the batched form holds 3x the stage temporaries, which
+            # does not fit HBM next to the resident point tables
+            polys = jax.lax.map(
+                lambda p: to_odd_coset(p, tables["ntt"], self.eta),
+                jnp.moveaxis(polys, 1, 0))          # (3, 16, N)
+            polys = jnp.moveaxis(polys, 0, 1)
         else:
             polys = to_odd_coset(polys, tables["ntt"], self.eta)
         a2, b2, c2 = polys[:, 0], polys[:, 1], polys[:, 2]

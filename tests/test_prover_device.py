@@ -47,6 +47,13 @@ def test_prove_sqchain_bit_identical_and_phases():
     assert prover.last_phases["total"] > 0
 
 
+def test_prove_sequential_ntt_bit_identical(monkeypatch):
+    # RSTPU_NTT_SEQ forces the big-domain per-poly lax.map NTT path
+    monkeypatch.setenv("RSTPU_NTT_SEQ", "1")
+    prover = _run("sqchain64")
+    assert prover.ntt_seq
+
+
 def test_prove_random_rs_verifies():
     zk = read_zkey(os.path.join(FIXTURES, "multiplier.zkey"))
     wt = read_wtns(os.path.join(FIXTURES, "multiplier.wtns"))
