@@ -75,6 +75,43 @@ def _shift_down(x, sh: int):
     return jnp.concatenate([jnp.zeros_like(x[:sh]), x[:-sh]], axis=0)
 
 
+# CPU backend: resolve carries with a 16-step lax.scan ripple instead of
+# the Kogge-Stone concat form. XLA:CPU's kernel emitter turns every
+# concatenate/pad into its OWN kernel module (each paying a full
+# MLIR+LLVM pipeline, ~100ms), so one Kogge-Stone adder costs ~20
+# kernels and a complete curve add ~200 — the measured cause of the
+# multi-minute pipeline compiles on the 8-virtual-device test mesh. The
+# ripple is one while loop (compiled once), 30x faster to compile;
+# sequential-step runtime is irrelevant at CPU test scale. TPU and
+# Pallas kernel bodies keep Kogge-Stone (log-depth, concat-friendly).
+_SCAN_CARRIES = None
+
+
+def _scan_carries() -> bool:
+    global _SCAN_CARRIES
+    if _FORCE_UNROLL:
+        return False
+    if _SCAN_CARRIES is None:
+        import jax
+        _SCAN_CARRIES = jax.default_backend() == "cpu"
+    return _SCAN_CARRIES
+
+
+def _ripple(s):
+    """Exact carry resolution of deferred-carry limbs (any per-limb
+    value < 2^31): one lax.scan over the limb axis. Returns (canonical
+    limbs, carry_out_of_top != 0)."""
+    import jax
+
+    def body(carry, limb):
+        t = limb + carry
+        return t >> LIMB_BITS, t & MASK
+
+    carry, out = jax.lax.scan(
+        body, jnp.zeros(s.shape[1:], dtype=jnp.uint32), s)
+    return out, carry != 0
+
+
 def _resolve_ones(base, c):
     """Exact carry resolution when per-limb carries are 0/1.
 
@@ -83,6 +120,8 @@ def _resolve_ones(base, c):
     Masks stay uint32 0/1 (Mosaic cannot concatenate i1 vectors inside
     Pallas kernels). Returns (canonical limbs, carry_out_of_top: bool).
     """
+    if _scan_carries():
+        return _ripple(base + (c << LIMB_BITS))
     g = c  # uint32 0/1
     p = (base == MASK).astype(jnp.uint32)
     for sh in (1, 2, 4, 8):
@@ -97,6 +136,8 @@ def _resolve_ones(base, c):
 
 def _split_resolve(s):
     """Resolve limbs < 2^17 (one deferred carry bit per limb)."""
+    if _scan_carries():
+        return _ripple(s)
     return _resolve_ones(s & MASK, s >> LIMB_BITS)
 
 
@@ -104,6 +145,8 @@ def _resolve_wide(s):
     """Resolve limbs < 2^26 (multi-bit deferred carries): one split-add
     pass brings carries to 0/1, then Kogge-Stone. Carry out of the top
     limb must be structurally impossible at call sites."""
+    if _scan_carries():
+        return _ripple(s)[0]
     c = s >> LIMB_BITS
     s2 = (s & MASK) + _shift_down(c, 1)
     out, _ = _split_resolve(s2)

@@ -38,6 +38,19 @@ def enabled() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _kernel_ctx():
+    """Field-arithmetic mode for a Pallas kernel body: real Mosaic
+    compilation needs fully unrolled muls/adders (no scan state in
+    VMEM); interpret mode (CPU tests) keeps the scan forms, which
+    compile ~30x faster on XLA:CPU (see ops/field._scan_carries)."""
+    import contextlib
+    from . import field as FF
+
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    return FF.force_unroll()
+
+
 def _flatten_pt(pt):
     """Point pytree -> (leaves, treedef-like rebuild fn)."""
     leaves = []
@@ -110,8 +123,7 @@ def _binary(fn, fallback, p, q, n_out_leaves: int, out_tree: bool = False,
         vals = [r[:] for r in ins]
         pp = rebuild_p(vals[:np_])
         qq = rebuild_q(vals[np_:])
-        from . import field as FF
-        with FF.force_unroll():   # no lax.scan state inside the kernel
+        with _kernel_ctx():   # no lax.scan state inside a real kernel
             rr = fn(pp, qq)
         r_leaves, _ = _flatten_pt(rr)
         for o, v in zip(outs, r_leaves):
@@ -236,8 +248,7 @@ def ntt_butterfly(lo, hi, tw, dif: bool):
         return a
 
     def kernel(lo_ref, hi_ref, tw_ref, o1_ref, o2_ref):
-        from . import field as FF
-        with FF.force_unroll():
+        with _kernel_ctx():
             o1, o2 = fb(lo_ref[:], hi_ref[:], tw_ref[:])
             o1_ref[:] = o1
             o2_ref[:] = o2

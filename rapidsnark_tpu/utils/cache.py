@@ -26,12 +26,18 @@ def enable(path: str | None = None) -> None:
     global _DONE
     if _DONE:
         return
+    import jax
+    # Honor JAX_PLATFORMS at the config level: some environments install
+    # a sitecustomize that force-registers an experimental TPU platform
+    # regardless of the env var; the config update wins.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     env = os.environ.get("RSTPU_CACHE")
     if env == "0":
         return
     path = path or env or _DEFAULT
     os.makedirs(path, exist_ok=True)
-    import jax
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -94,6 +94,26 @@ def test_reduce_wide_segment_sum():
     assert limbs_to_ints(np.asarray(out)) == [sum(g) % R_FR for g in groups]
 
 
+def test_unrolled_kogge_stone_matches_scan():
+    """The TPU/Pallas formulation (unrolled CIOS + Kogge-Stone carries)
+    computes the same values as the CPU scan-ripple path — keeps the
+    kernel-mode arithmetic covered even when the suite runs on CPU."""
+    fo, mod = FF.FQ, P  # FQ mul+sub exercise every resolver/const path
+    a = _rand_elems(16, mod)
+    b = list(reversed(_rand_elems(16, mod)))
+
+    def unrolled(op):
+        def run(x, y):
+            with FF.force_unroll():
+                return op(x, y)
+        return run
+
+    for op in (fo.mul, fo.sub):
+        got_scan = _run(op, fo, a, b)
+        got_ks = _run(unrolled(op), fo, a, b)
+        assert got_ks == got_scan
+
+
 def test_batch_shapes_2d():
     """Ops broadcast over arbitrary leading dims."""
     xs = np.array(ints_to_limbs(_rand_elems(12, P))).reshape(3, 4, 16)
