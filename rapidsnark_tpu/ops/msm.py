@@ -53,6 +53,16 @@ _SCAN_COLS_G1 = 2
 _SCAN_COLS_G2 = 4
 
 
+@functools.cache
+def _scan_cols(is_g2: bool) -> int:
+    """Adder instantiations per scan step. On CPU (tests/dryrun) each
+    extra column is one more ~2-6s XLA compile of the complete adder
+    with zero benefit (no VMEM/launch economics): keep 1."""
+    if jax.default_backend() == "cpu":
+        return 1
+    return _SCAN_COLS_G2 if is_g2 else _SCAN_COLS_G1
+
+
 # ---------------------------------------------------------------------------
 # point pytree helpers (leaves are (16, *batch) uint32 limb arrays;
 # PACKED affine tables use (8, *batch) with two 16-bit limbs per word)
@@ -151,7 +161,7 @@ def _chunked_prefix(curve: CurveOps, pt, sign, batch: Tuple[int, ...],
     C = _CHUNK
     nb = n // C
     from .curve import Fq2Ops
-    K = _SCAN_COLS_G2 if isinstance(curve.f, Fq2Ops) else _SCAN_COLS_G1
+    K = _scan_cols(isinstance(curve.f, Fq2Ops))
     # (8,*batch,n) -> (C, 8, *batch, nb): C becomes the scan axis; K
     # consecutive columns are fed to ONE kernel per scan step (the
     # accumulator never leaves VMEM between them). Each scan column is
