@@ -43,10 +43,15 @@ def run_prove(zkey_path: str, wtns_path: str, proof_path: str,
     prover = Prover(zkey, window_bits=window_bits)
     proof, publics = prover.prove(wtns.values)
 
+    # Byte-exact output: the reference streams nlohmann::json objects with
+    # default stream width (main_prover.cpp:77-93) — compact separators, no
+    # trailing newline. A default-constructed nlohmann json (nPublic = 0)
+    # prints "null".
     with open(proof_path, "w") as f:
-        json.dump(proof.to_json_dict(), f, indent=1)
+        f.write(json.dumps(proof.to_json_dict(), separators=(",", ":")))
     with open(public_path, "w") as f:
-        json.dump([str(v) for v in publics], f, indent=1)
+        pub = [str(v) for v in publics]
+        f.write(json.dumps(pub, separators=(",", ":")) if pub else "null")
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:

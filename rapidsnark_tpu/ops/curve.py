@@ -1,19 +1,20 @@
-"""Vectorized Jacobian-coordinate group ops for G1 (Fq) and G2 (Fq2).
+"""Vectorized complete projective group ops for G1 (Fq) and G2 (Fq2).
 
 TPU-native replacement for ffiasm's curve.cpp Jacobian add/double/mixed
-routines (SURVEY.md §2.12). Everything is branch-free: the general `add`
-computes both the chord and tangent paths and selects per lane, so it is
-a valid combiner for `associative_scan`-style reductions over arbitrary
-point batches (including repeated points, inverses, and infinities).
+routines (SURVEY.md §2.12), using the Renes-Costello-Batina complete
+formulas (eprint 2015/1060, Algorithms 7/8 for a = 0): branch-free and
+complete for doubling/inverse/infinity by construction, so every adder
+is a valid combiner for scan-style reductions over arbitrary point
+batches (including repeated points, inverses, and infinities).
 
-Points are (X, Y, Z) tuples of field elements; infinity is Z == 0.
+Points are (X, Y, Z) tuples of field elements; infinity is (0, 1, 0).
 Coordinates stay in the Montgomery domain end-to-end — zkey points arrive
 Montgomery-encoded (SURVEY.md §3.1) and only final results leave the
 device for host-side affine normalization.
 
-Curve: y^2 = x^3 + 3 over Fq; twist y^2 = x^3 + 3/(9+i) over Fq2. The
-formulas below never use the curve constant, so one implementation
-serves both groups.
+Curve: y^2 = x^3 + 3 over Fq; twist y^2 = x^3 + 3/(9+i) over Fq2; the
+curve constant enters only via `b3` (3b), so one implementation serves
+both groups.
 """
 
 from __future__ import annotations
@@ -130,25 +131,13 @@ Point = Tuple  # (x, y, z) of field elements
 
 
 class CurveOps:
-    """Jacobian group law over an abstract coordinate field."""
+    """Shared point representation helpers over an abstract coordinate
+    field. The group law lives in `ProjCurveOps` (the only production
+    path); this base holds everything that is coordinate-system
+    agnostic."""
 
     def __init__(self, f):
         self.f = f
-
-    # -- representation -------------------------------------------------------
-    def inf(self, shape=()) -> Point:
-        return (self.f.one_mont(shape), self.f.one_mont(shape),
-                self.f.zero(shape))
-
-    def from_affine(self, x, y) -> Point:
-        """Affine (Montgomery) coords -> Jacobian; (0,0) encodes infinity
-        (snarkjs zkey convention for the point at infinity)."""
-        inf_mask = self.f.is_zero(x) & self.f.is_zero(y)
-        shape = _shape_of(x)
-        one = self.f.one_mont(shape)
-        z = self.f.select(inf_mask, self.f.zero(shape), one)
-        return (self.f.select(inf_mask, one, x),
-                self.f.select(inf_mask, one, y), z)
 
     def is_inf(self, p: Point):
         return self.f.is_zero(p[2])
@@ -158,183 +147,6 @@ class CurveOps:
 
     def select(self, mask, a: Point, b: Point) -> Point:
         return tuple(self.f.select(mask, x, y) for x, y in zip(a, b))
-
-    # -- group law -------------------------------------------------------------
-    # Graph-size discipline: independent field products inside each
-    # formula are batched through f.mul_many so a full Jacobian op costs
-    # a handful of mul instantiations, not 23 (see ops/field.py header).
-
-    def double(self, p: Point) -> Point:
-        """2P, a = 0 curve. Handles infinity (Z=0 stays Z=0)."""
-        f = self.f
-        x, y, z = p
-        a, b, yz = f.mul_many([(x, x), (y, y), (y, z)])
-        e = f.add(f.double(a), a)  # 3a
-        xb = f.add(x, b)
-        c, xb2, e2 = f.mul_many([(b, b), (xb, xb), (e, e)])
-        # d = 2((x+b)^2 - a - c)
-        d = f.double(f.sub(f.sub(xb2, a), c))
-        x3 = f.sub(e2, f.double(d))
-        c8 = f.double(f.double(f.double(c)))
-        (ed,) = f.mul_many([(e, f.sub(d, x3))])
-        y3 = f.sub(ed, c8)
-        z3 = f.double(yz)
-        return (x3, y3, z3)
-
-    def add(self, p: Point, q: Point) -> Point:
-        """P + Q, complete w.r.t. infinity / equality / inverses.
-
-        Branch-free: computes chord and tangent paths (sharing batched
-        mul stages), selects per lane. Valid as a scan combiner.
-        """
-        f = self.f
-        x1, y1, z1 = p
-        x2, y2, z2 = q
-
-        # stage 1: squares + tangent-path products
-        z1z1, z2z2, ta, tb, tyz = f.mul_many(
-            [(z1, z1), (z2, z2), (x1, x1), (y1, y1), (y1, z1)])
-        # stage 2
-        u1, u2, z2c, z1c, z1z2, tc, txb2, te2 = f.mul_many([
-            (x1, z2z2), (x2, z1z1), (z2z2, z2), (z1z1, z1), (z1, z2),
-            (tb, tb),
-            (f.add(x1, tb), f.add(x1, tb)),
-            (f.add(f.double(ta), ta), f.add(f.double(ta), ta)),
-        ])
-        te = f.add(f.double(ta), ta)          # 3*x1^2 (tangent slope num)
-        td = f.double(f.sub(f.sub(txb2, ta), tc))
-        tx3 = f.sub(te2, f.double(td))
-        # stage 3
-        s1, s2 = f.mul_many([(y1, z2c), (y2, z1c)])
-        h = f.sub(u2, u1)
-        r = f.sub(s2, s1)
-        # stage 4
-        hh, rsq, ted = f.mul_many([(h, h), (r, r), (te, f.sub(td, tx3))])
-        ty3 = f.sub(ted, f.double(f.double(f.double(tc))))
-        tz3 = f.double(tyz)
-        # stage 5
-        hhh, v, z3 = f.mul_many([(h, hh), (u1, hh), (z1z2, h)])
-        x3 = f.sub(f.sub(rsq, hhh), f.double(v))
-        # stage 6
-        w1, w2 = f.mul_many([(r, f.sub(v, x3)), (s1, hhh)])
-        y3 = f.sub(w1, w2)
-        out = (x3, y3, z3)
-
-        h_zero = f.is_zero(h)
-        r_zero = f.is_zero(r)
-        p_inf = f.is_zero(z1)
-        q_inf = f.is_zero(z2)
-        both = (~p_inf) & (~q_inf)
-
-        shape = _shape_of(x1)
-        out = self.select(both & h_zero & r_zero, (tx3, ty3, tz3), out)
-        out = self.select(both & h_zero & (~r_zero), self.inf(shape), out)
-        out = self.select(p_inf, q, out)
-        out = self.select(q_inf & (~p_inf), p, out)
-        return out
-
-    def add_mixed(self, p: Point, q) -> Point:
-        """P + Q with Q AFFINE ((x2, y2); (0,0) encodes infinity) —
-        z2 = 1 saves 5 of the general adder's 23 field muls, and affine
-        columns halve the gather traffic of the MSM prefix scan.
-        Complete like `add`: tangent/inverse/infinity lanes select out.
-        """
-        f = self.f
-        x1, y1, z1 = p
-        x2, y2 = q
-
-        # stage 1: squares + tangent-path products
-        z1z1, ta, tb, tyz = f.mul_many(
-            [(z1, z1), (x1, x1), (y1, y1), (y1, z1)])
-        e1 = f.add(x1, tb)
-        te = f.add(f.double(ta), ta)          # 3*x1^2
-        # stage 2
-        u2, z1c, tc, txb2, te2 = f.mul_many([
-            (x2, z1z1), (z1z1, z1), (tb, tb), (e1, e1), (te, te)])
-        # stage 3
-        (s2,) = f.mul_many([(y2, z1c)])
-        h = f.sub(u2, x1)                     # u1 = x1 (z2 = 1)
-        r = f.sub(s2, y1)                     # s1 = y1
-        td = f.double(f.sub(f.sub(txb2, ta), tc))
-        tx3 = f.sub(te2, f.double(td))
-        # stage 4
-        hh, rsq, ted = f.mul_many([(h, h), (r, r), (te, f.sub(td, tx3))])
-        ty3 = f.sub(ted, f.double(f.double(f.double(tc))))
-        tz3 = f.double(tyz)
-        # stage 5
-        hhh, v, z3 = f.mul_many([(h, hh), (x1, hh), (z1, h)])
-        x3 = f.sub(f.sub(rsq, hhh), f.double(v))
-        # stage 6
-        w1, w2 = f.mul_many([(r, f.sub(v, x3)), (y1, hhh)])
-        y3 = f.sub(w1, w2)
-        out = (x3, y3, z3)
-
-        h_zero = f.is_zero(h)
-        r_zero = f.is_zero(r)
-        p_inf = f.is_zero(z1)
-        q_inf = f.is_zero(x2) & f.is_zero(y2)
-        both = (~p_inf) & (~q_inf)
-
-        shape = _shape_of(x1)
-        out = self.select(both & h_zero & r_zero, (tx3, ty3, tz3), out)
-        out = self.select(both & h_zero & (~r_zero), self.inf(shape), out)
-        out = self.select(p_inf, self.from_affine(x2, y2), out)
-        out = self.select(q_inf & (~p_inf), p, out)
-        return out
-
-    def scalar_mul(self, p: Point, scalar_packed, bits: int = 256) -> Point:
-        """[k]P with k as a (..., 16) packed uint32 limb array (plain
-        integer, not reduced — matching mulByScalar byte semantics,
-        groth16.cpp:223-245).
-
-        fori_loop double-and-add sharing ONE adder instantiation across
-        the accumulate and double phases (graph-size discipline: every
-        unrolled Jacobian op costs ~3k HLO ops after limb expansion;
-        doubling is the complete adder's tangent path).
-        """
-        import jax
-
-        shape = _shape_of(p[0])
-        identity = self.inf(shape)
-
-        def body(i, state):
-            acc, cur = state
-            step, phase = i // 2, i % 2
-            limb = jnp.take(scalar_packed, step >> 4, axis=-1)
-            bit = ((limb >> (step.astype(jnp.uint32) & 15)) & 1
-                   ).astype(jnp.bool_)
-            # phase 0: acc += bit ? cur : O;   phase 1: cur += cur
-            x = self.select(phase == 1, cur, acc)
-            y = self.select(phase == 1, cur,
-                            self.select(bit, cur, identity))
-            z = self.add(x, y)
-            acc = self.select(phase == 0, z, acc)
-            cur = self.select(phase == 1, z, cur)
-            return acc, cur
-
-        acc, _ = jax.lax.fori_loop(0, 2 * bits, body, (identity, p))
-        return acc
-
-    def tree_reduce(self, pts: Point) -> Point:
-        """Sum a batch of points along axis 0 with a balanced tree.
-
-        pts coordinates carry a leading batch axis; static shapes: the
-        batch is halved (padding odd levels with infinity) log2(n) times.
-        """
-        n = _shape_of(pts[0])[0]
-        while n > 1:
-            if n % 2 == 1:
-                pad = self.inf((1,) + _shape_of(pts[0])[1:])
-                pts = tuple(
-                    _map_leaves2(a, b,
-                                 lambda u, v: jnp.concatenate([u, v], axis=1))
-                    for a, b in zip(pts, pad))
-                n += 1
-            lo = _tree_index(pts, slice(0, n, 2))
-            hi = _tree_index(pts, slice(1, n, 2))
-            pts = self.add(lo, hi)
-            n //= 2
-        return _tree_index(pts, 0)
 
 
 class ProjCurveOps(CurveOps):
@@ -472,20 +284,6 @@ def _map_leaves(elem, fn):
         return tuple(_map_leaves(e, fn) for e in elem)
     return fn(elem)
 
-
-def _tree_index(pt, idx):
-    """Index the leading batch axis (axis 1 of each (16, n, ...) leaf)."""
-    return tuple(_map_leaves(c, lambda a: a[:, idx]) for c in pt)
-
-
-def _map_leaves2(a, b, fn):
-    if isinstance(a, tuple):
-        return tuple(_map_leaves2(x, y, fn) for x, y in zip(a, b))
-    return fn(a, b)
-
-
-G1 = CurveOps(FQ)
-G2 = CurveOps(FQ2)
 
 # RCB complete-projective instances (the MSM/prover hot path).
 # G1: b3 = 9 (adds). G2 twist: b = 3/(9+i), b3 = 9/(9+i), Montgomery-

@@ -8,9 +8,11 @@ proverapi.cpp:
     POST /input/:circuit    -> FullProver.start_prove(body, circuit)
     POST /cancel            -> FullProver.abort
 
-Stdlib http.server replaces pistache; like the reference endpoint
-(threads(1), maxRequestSize 128MB, main_proofserver.cpp:32) requests are
-handled serially with a 128 MB body cap.
+Stdlib http.server replaces pistache. The reference endpoint runs
+threads(1) with a 128 MB request cap (main_proofserver.cpp:32); here a
+ThreadingHTTPServer keeps /status responsive during long proves (the
+FullProver state machine is lock-guarded, so concurrent handlers are
+safe) and the 128 MB body cap is enforced per request.
 """
 
 from __future__ import annotations

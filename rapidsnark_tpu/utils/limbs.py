@@ -3,7 +3,7 @@
 A 256-bit field element is 16 little-endian 16-bit limbs, each stored in
 a uint32 lane (so limb products of two canonical limbs are exact in
 uint32, and column sums keep ~10 bits of headroom — the whole TPU field
-pipeline is built on this invariant; see ops/bigint.py).
+pipeline is built on this invariant; see ops/field.py).
 
 This replaces ffiasm's 4 x 64-bit RawFr::Element layout (SURVEY.md
 §2.12) with a layout the TPU VPU can vectorize: batch dimension over

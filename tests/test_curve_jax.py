@@ -1,4 +1,6 @@
-"""Vectorized Jacobian group law vs the pure-Python ref oracle."""
+"""RCB complete projective group law (the production path) vs the
+pure-Python ref oracle — G1 and G2, general/mixed adds, doubling,
+cancellation, and infinity lanes."""
 
 import random
 
@@ -7,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from rapidsnark_tpu.ops import field as FF
-from rapidsnark_tpu.ops.curve import G1, G2, FQ2, G1P, G2P
+from rapidsnark_tpu.ops.curve import FQ2, G1P, G2P
 from rapidsnark_tpu.ref import curve as refc
 from rapidsnark_tpu.ref.field import R_FR
 from rapidsnark_tpu.utils.limbs import ints_to_limbs
@@ -24,70 +26,24 @@ def _ref_g2_points(n):
     return [refc.G2.mul(refc.G2_GEN, rng.randrange(1, R_FR)) for _ in range(n)]
 
 
-def _dev_g1(pts):
+def _aff_g1(pts):
+    """ref points -> device affine (x, y) limb pair; (0,0) = infinity."""
     arr = np.stack([PT.g1_affine_to_mont_limbs(p) for p in pts])  # (n,2,16)
-    x = FF.unpack(jnp.asarray(arr[:, 0]))
-    y = FF.unpack(jnp.asarray(arr[:, 1]))
-    return G1.from_affine(x, y)
+    return (FF.unpack(jnp.asarray(arr[:, 0])), FF.unpack(jnp.asarray(arr[:, 1])))
+
+
+def _dev_g1(pts):
+    return G1P.from_affine(*_aff_g1(pts))
+
+
+def _aff_g2(pts):
+    arr = np.stack([PT.g2_affine_to_mont_limbs(p) for p in pts])  # (n,4,16)
+    cs = [FF.unpack(jnp.asarray(arr[:, k])) for k in range(4)]
+    return ((cs[0], cs[1]), (cs[2], cs[3]))
 
 
 def _dev_g2(pts):
-    arr = np.stack([PT.g2_affine_to_mont_limbs(p) for p in pts])  # (n,4,16)
-    coords = [FF.unpack(jnp.asarray(arr[:, i])) for i in range(4)]
-    return G2.from_affine((coords[0], coords[1]), (coords[2], coords[3]))
-
-
-def _host_g1(jac):
-    x, y, z = jac
-    xs = np.asarray(FF.pack(x))
-    ys = np.asarray(FF.pack(y))
-    zs = np.asarray(FF.pack(z))
-    if xs.ndim == 1:
-        return PT.jac_to_affine_g1(xs, ys, zs)
-    return [PT.jac_to_affine_g1(xs[i], ys[i], zs[i]) for i in range(len(xs))]
-
-
-def _host_g2(jac):
-    x, y, z = jac
-
-    def cc(e):
-        return (np.asarray(FF.pack(e[0])), np.asarray(FF.pack(e[1])))
-
-    xs, ys, zs = cc(x), cc(y), cc(z)
-    if xs[0].ndim == 1:
-        return PT.jac_to_affine_g2(xs, ys, zs)
-    out = []
-    for i in range(len(xs[0])):
-        out.append(PT.jac_to_affine_g2((xs[0][i], xs[1][i]),
-                                       (ys[0][i], ys[1][i]),
-                                       (zs[0][i], zs[1][i])))
-    return out
-
-
-def test_g1_add_batch_vs_ref():
-    n = 8
-    ps = _ref_g1_points(n)
-    qs = _ref_g1_points(n)
-    # adversarial lanes: P+P, P+(-P), P+O, O+Q, O+O
-    ps[0] = qs[0]
-    qs[1] = refc.G1.neg(ps[1])
-    qs[2] = None
-    ps[3] = None
-    ps[4] = None; qs[4] = None
-    out = jax.jit(lambda a, b: G1.add(a, b))(_dev_g1(ps), _dev_g1(qs))
-    got = _host_g1(out)
-    expect = [refc.G1.add(p, q) for p, q in zip(ps, qs)]
-    for g, e in zip(got, expect):
-        assert (g is None and e is None) or refc.G1.eq(g, e)
-
-
-def test_g1_double_vs_ref():
-    ps = _ref_g1_points(4) + [None]
-    out = jax.jit(G1.double)(_dev_g1(ps))
-    got = _host_g1(out)
-    for g, p in zip(got, ps):
-        e = refc.G1.double(p)
-        assert (g is None and e is None) or refc.G1.eq(g, e)
+    return G2P.from_affine(*_aff_g2(pts))
 
 
 def _host_g1p(proj):
@@ -115,71 +71,58 @@ def _host_g2p(proj):
             for i in range(len(xs[0]))]
 
 
-def test_rcb_projective_adders_vs_ref():
-    """Renes-Costello-Batina complete adds (G1 + G2, general + mixed),
-    including doubling / cancellation / infinity lanes."""
-    n = 8
+def _adversarial_g1(n=8):
+    """Point batches covering P+P, P+(-P), P+O, O+Q, O+O lanes."""
     ps = _ref_g1_points(n)
     qs = _ref_g1_points(n)
     ps[0] = qs[0]
     qs[1] = refc.G1.neg(ps[1])
     qs[2] = None
     ps[3] = None
-    ps[4] = None; qs[4] = None
+    ps[4] = None
+    qs[4] = None
+    return ps, qs
 
-    def devp(pts):
-        arr = np.stack([PT.g1_affine_to_mont_limbs(p) for p in pts])
-        return G1P.from_affine(FF.unpack(jnp.asarray(arr[:, 0])),
-                               FF.unpack(jnp.asarray(arr[:, 1])))
 
-    def affp(pts):
-        arr = np.stack([PT.g1_affine_to_mont_limbs(p) for p in pts])
-        return (FF.unpack(jnp.asarray(arr[:, 0])),
-                FF.unpack(jnp.asarray(arr[:, 1])))
-
+def test_g1_add_and_mixed_vs_ref():
+    ps, qs = _adversarial_g1()
     for got in (_host_g1p(jax.jit(lambda a, b: G1P.add(a, b))(
-                    devp(ps), devp(qs))),
+                    _dev_g1(ps), _dev_g1(qs))),
                 _host_g1p(jax.jit(lambda a, b: G1P.add_mixed(a, b))(
-                    devp(ps), affp(qs)))):
+                    _dev_g1(ps), _aff_g1(qs)))):
         for g, p, q in zip(got, ps, qs):
             e = refc.G1.add(p, q)
             assert (g is None and e is None) or refc.G1.eq(g, e)
 
-    ps2 = _ref_g2_points(4)
-    qs2 = _ref_g2_points(4)
-    ps2[0] = qs2[0]
-    qs2[1] = None
 
-    def dev2(pts):
-        arr = np.stack([PT.g2_affine_to_mont_limbs(p) for p in pts])
-        cs = [FF.unpack(jnp.asarray(arr[:, k])) for k in range(4)]
-        return G2P.from_affine((cs[0], cs[1]), (cs[2], cs[3]))
-
-    got = _host_g2p(jax.jit(lambda a, b: G2P.add(a, b))(dev2(ps2),
-                                                        dev2(qs2)))
-    for g, p, q in zip(got, ps2, qs2):
-        e = refc.G2.add(p, q)
-        assert (g is None and e is None) or refc.G2.eq(g, e)
-
-
-def test_g1_add_mixed_vs_ref():
-    """Jacobian + affine complete adder: all the special lanes."""
-    n = 8
-    ps = _ref_g1_points(n)
-    qs = _ref_g1_points(n)
-    ps[0] = qs[0]                    # doubling lane
-    qs[1] = refc.G1.neg(ps[1])       # cancellation lane
-    qs[2] = None                     # q at infinity
-    ps[3] = None                     # p at infinity
-    ps[4] = None; qs[4] = None       # both at infinity
-    jac = _dev_g1(ps)
-    arr = np.stack([PT.g1_affine_to_mont_limbs(q) for q in qs])
-    aff = (FF.unpack(jnp.asarray(arr[:, 0])), FF.unpack(jnp.asarray(arr[:, 1])))
-    out = jax.jit(lambda a, b: G1.add_mixed(a, b))(jac, aff)
-    got = _host_g1(out)
-    for g, p, q in zip(got, ps, qs):
-        e = refc.G1.add(p, q)
+def test_g1_double_vs_ref():
+    ps = _ref_g1_points(4) + [None]
+    got = _host_g1p(jax.jit(G1P.double)(_dev_g1(ps)))
+    for g, p in zip(got, ps):
+        e = refc.G1.double(p)
         assert (g is None and e is None) or refc.G1.eq(g, e)
+
+
+def test_g2_add_mixed_double_vs_ref():
+    n = 6
+    ps = _ref_g2_points(n)
+    qs = _ref_g2_points(n)
+    ps[0] = qs[0]                # doubling lane
+    qs[1] = refc.G2.neg(ps[1])   # cancellation lane
+    qs[2] = None
+    ps[3] = None
+    for got in (_host_g2p(jax.jit(lambda a, b: G2P.add(a, b))(
+                    _dev_g2(ps), _dev_g2(qs))),
+                _host_g2p(jax.jit(lambda a, b: G2P.add_mixed(a, b))(
+                    _dev_g2(ps), _aff_g2(qs)))):
+        for g, p, q in zip(got, ps, qs):
+            e = refc.G2.add(p, q)
+            assert (g is None and e is None) or refc.G2.eq(g, e)
+
+    got2 = _host_g2p(jax.jit(G2P.double)(_dev_g2(ps)))
+    for g, p in zip(got2, ps):
+        e = refc.G2.double(p)
+        assert (g is None and e is None) or refc.G2.eq(g, e)
 
 
 def test_fused_pallas_adders_match_xla(monkeypatch):
@@ -194,59 +137,17 @@ def test_fused_pallas_adders_match_xla(monkeypatch):
             rs.randint(0, 1 << 16, size=(16, n), dtype=np.uint32))
         p = (leaf(), leaf(), leaf())
         q = (leaf(), leaf(), leaf())
-        got = fused.add(G1, p, q)
-        want = jax.jit(lambda a, b: G1.add(a, b))(p, q)
+        got = fused.add(G1P, p, q)
+        want = jax.jit(lambda a, b: G1P.add(a, b))(p, q)
         for g, w in zip(got, want):
             assert np.array_equal(np.asarray(g), np.asarray(w))
         qa = (leaf(), leaf())
-        got = fused.add_mixed(G1, p, qa)
-        want = jax.jit(lambda a, b: G1.add_mixed(a, b))(p, qa)
+        got = fused.add_mixed(G1P, p, qa)
+        want = jax.jit(lambda a, b: G1P.add_mixed(a, b))(p, qa)
         for g, w in zip(got, want):
             assert np.array_equal(np.asarray(g), np.asarray(w))
     finally:
         fused.enabled.cache_clear()
-
-
-def test_g1_scalar_mul_vs_ref():
-    p = _ref_g1_points(1)[0]
-    k = rng.randrange(R_FR)
-    kpacked = jnp.asarray(ints_to_limbs([k])[0])  # (16,)
-    out = jax.jit(lambda pt, kl: G1.scalar_mul(pt, kl))(_dev_g1([p]), kpacked)
-    got = _host_g1(out)[0]
-    assert refc.G1.eq(got, refc.G1.mul(p, k))
-
-
-def test_g1_tree_reduce_vs_ref():
-    for n in (1, 2, 5, 8):
-        ps = _ref_g1_points(n)
-        if n > 2:
-            ps[1] = None  # infinity inside the tree
-        out = jax.jit(G1.tree_reduce)(_dev_g1(ps))
-        got = _host_g1(out)
-        expect = None
-        for p in ps:
-            expect = refc.G1.add(expect, p)
-        assert (got is None and expect is None) or refc.G1.eq(got, expect)
-
-
-def test_g2_add_double_vs_ref():
-    n = 6
-    ps = _ref_g2_points(n)
-    qs = _ref_g2_points(n)
-    ps[0] = qs[0]           # doubling lane
-    qs[1] = refc.G2.neg(ps[1])  # cancellation lane
-    qs[2] = None
-    out = jax.jit(lambda a, b: G2.add(a, b))(_dev_g2(ps), _dev_g2(qs))
-    got = _host_g2(out)
-    for g, p, q in zip(got, ps, qs):
-        e = refc.G2.add(p, q)
-        assert (g is None and e is None) or refc.G2.eq(g, e)
-
-    out2 = jax.jit(G2.double)(_dev_g2(ps))
-    got2 = _host_g2(out2)
-    for g, p in zip(got2, ps):
-        e = refc.G2.double(p)
-        assert (g is None and e is None) or refc.G2.eq(g, e)
 
 
 def test_fq2_mul_matches_ref():
