@@ -59,6 +59,30 @@ def _pad_points(pts: np.ndarray, npad: int) -> np.ndarray:
         [pts, np.zeros((npad - n, k, 8), np.uint32)], axis=0)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("c_bits", "window_group", "segment", "mesh"))
+def _msm_stage(pts_g1, pts_g2, h_row, wit_row, c_row, *, c_bits: int,
+               window_group: int, segment: int, mesh):
+    """Stage 2: the five MSMs (groth16.cpp:173-204) — four G1 rides one
+    batched call, G2 reuses the witness scalar row. A module-level jit
+    keyed ONLY on the MSM config: every circuit with the same
+    (nmax, c, G, segment, mesh) shares this compiled executable
+    regardless of its domain/coefficient structure."""
+    g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])  # (4, nmax, 8)
+    if mesh is None:
+        g1w = MSM.msm(G1P, pts_g1, g1_sc, c_bits, window_group,
+                      combine=False, segment=segment)
+        g2w = MSM.msm(G2P, pts_g2, wit_row[None], c_bits, window_group,
+                      combine=False, segment=segment)
+    else:
+        from .parallel import pmsm
+        g1w = pmsm.msm_sharded(G1P, pts_g1, g1_sc, c_bits, mesh,
+                               window_group, combine=False)
+        g2w = pmsm.msm_sharded(G2P, pts_g2, wit_row[None], c_bits, mesh,
+                               window_group, combine=False)
+    return g1w, g2w
+
+
 class Prover:
     """One circuit's proving context: device-resident zkey tables + the
     jitted pipeline. The analogue of Groth16::Prover (groth16.hpp:39-98) —
@@ -138,14 +162,37 @@ class Prover:
         # --- coefficient table (zkey section 4) --------------------------
         n = self.domain
         seg = zkey.coef_m.astype(np.int64) * n + zkey.coef_c.astype(np.int64)
-        self.coef_seg = jnp.asarray(seg.astype(np.int32))
         self.coef_s = jnp.asarray(zkey.coef_s.astype(np.int32))
         self.coef_val = jnp.asarray(zkey.coef_val)  # (nCoefs, 8) words, Montgomery
-        # deferred-carry headroom: limb column sums must stay < 2^31
+        # deferred-carry headroom: limb column sums must stay < 2^31, so
+        # one segment_sum pass tolerates < 2^15 16-bit terms per segment.
+        # Denser rows (the reference's striped-lock scatter handles any
+        # density, groth16.cpp:63-85) go through a TWO-LEVEL pass: records
+        # split into subsegments of <= 2^15 terms, stage-1 subtotals are
+        # canonicalized (< 2^16 limbs), stage 2 sums the subtotals per
+        # segment — bounded again since a segment of nCoefs < 2^30 records
+        # has < 2^15 subsegments.
         counts = np.bincount(seg, minlength=2 * n)
-        if counts.max(initial=0) >= (1 << 15):
-            raise ValueError("coefficient rows too dense for u32 limb "
-                             "accumulation (> 2^15 terms on one wire)")
+        cap = 1 << 15
+        if counts.max(initial=0) < cap:
+            self.coef_seg = jnp.asarray(seg.astype(np.int32))
+            self.acc1_segments = 2 * n
+            self.acc2_seg = None
+        else:
+            order = np.argsort(seg, kind="stable")
+            starts = np.zeros(2 * n, np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            rank = np.empty(seg.shape[0], np.int64)
+            rank[order] = np.arange(seg.shape[0]) - starts[seg[order]]
+            nsub = (int(counts.max()) - 1) // cap + 1
+            if nsub >= cap:
+                raise ValueError("coefficient section too dense "
+                                 "(> 2^30 terms on one row)")
+            key = seg * nsub + (rank >> 15)
+            uniq, inv = np.unique(key, return_inverse=True)
+            self.coef_seg = jnp.asarray(inv.astype(np.int32))
+            self.acc1_segments = int(uniq.shape[0])
+            self.acc2_seg = jnp.asarray((uniq // nsub).astype(np.int32))
 
         # --- NTT plan for the proving domain ------------------------------
         plan = NTTPlan(self.power)
@@ -166,7 +213,7 @@ class Prover:
 
         self.last_phases: Dict[str, float] = {}
         # jit static key: equal-config Provers share ONE compiled
-        # executable (self is static_argnums=0 in _pipeline_jit; without
+        # executable (self is static_argnums=0 in _front_jit; without
         # this, every instance would recompile the pipeline)
         mesh_key = None if mesh is None else (
             tuple(mesh.shape.items()), tuple(str(d) for d in
@@ -174,7 +221,7 @@ class Prover:
         self._config_key = (self.n_vars, self.n_public, self.domain,
                             self.n_c, self.nmax, self.c_bits,
                             self.window_group, self.segment, self.ntt_seq,
-                            zkey.n_coefs, mesh_key)
+                            zkey.n_coefs, self.acc1_segments, mesh_key)
 
     def __hash__(self):
         return hash(self._config_key)
@@ -189,12 +236,15 @@ class Prover:
         """Device tables passed as jit ARGUMENTS (never closed over: a
         captured jnp array becomes an HLO constant and XLA's constant
         passes choke on multi-GB literals)."""
-        return {
+        out = {
             "pts_g1": self.pts_g1, "pts_g2": self.pts_g2,
             "coef_seg": self.coef_seg, "coef_s": self.coef_s,
             "coef_val": self.coef_val, "ntt": self.ntt_arrays,
             "dntt": self.dntt_arrays,
         }
+        if self.acc2_seg is not None:
+            out["acc2_seg"] = self.acc2_seg
+        return out
 
     def pipeline(self, witness, tables):
         """witness: (8, nVars) u32 words, standard-form (Wtns.values
@@ -207,9 +257,23 @@ class Prover:
         they are O(W) exact EC ops on single points, which as device code
         would cost thousands of sequential single-lane steps.
 
-        Jittable as a single XLA program; `Prover.prove` wraps it, and
-        __graft_entry__.entry exposes it to the driver.
+        Jittable as a single XLA program (__graft_entry__.entry exposes
+        it to the driver); `Prover.prove` runs the same computation as
+        TWO jitted stages (front / msms) so the expensive MSM module is
+        compiled once per (nmax, c, G, segment, mesh) config and shared
+        across circuits — front-end changes (domain, coefficient table)
+        never recompile the MSMs.
         """
+        h_row, wit_row, c_row = self.front(witness, tables)
+        return _msm_stage(tables["pts_g1"], tables["pts_g2"],
+                          h_row, wit_row, c_row, c_bits=self.c_bits,
+                          window_group=self.window_group,
+                          segment=self.segment, mesh=self.mesh)
+
+    def front(self, witness, tables):
+        """Stage 1: witness -> the five MSM scalar rows (plain LE packed
+        integers). Covers groth16.cpp:52-166: coefficient accumulation,
+        pointwise products, coset NTTs, h scalars."""
         n, nmax = self.domain, self.nmax
 
         # --- witness -> a, b, c evaluations (groth16.cpp:52-96) ----------
@@ -223,7 +287,17 @@ class Prover:
         # limb-space scatter-add: TPU-idiomatic striped-lock replacement
         data = FF.pack(prod)                             # (nCoefs, 16)
         acc = jax.ops.segment_sum(data, tables["coef_seg"],
-                                  num_segments=2 * n)
+                                  num_segments=self.acc1_segments)
+        if self.acc2_seg is not None:
+            # dense rows: canonicalize the <= 2^15-term subsegment sums,
+            # then segment-sum the subtotals to their target row (the
+            # second pass is bounded by < 2^15 subsegments per row)
+            m1 = self.acc1_segments
+            acc = jnp.concatenate(
+                [acc, jnp.zeros((m1, 2), jnp.uint32)], axis=1)
+            mid = FR.reduce_wide(FF.unpack(acc))         # (16, M) canonical
+            acc = jax.ops.segment_sum(FF.pack(mid), tables["acc2_seg"],
+                                      num_segments=2 * n)
         acc = jnp.concatenate(
             [acc, jnp.zeros((2 * n, 2), jnp.uint32)], axis=1)  # carry room
         ab = FR.reduce_wide(FF.unpack(acc))              # (16, 2N) canonical
@@ -263,29 +337,11 @@ class Prover:
         c_row = jnp.zeros((nmax, 8), jnp.uint32
                           ).at[:self.n_c].set(
                               witness[:, self.n_public + 1:].T)
-        g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])  # (4, nmax, 8)
-
-        # --- MSMs: four G1 in one batched call + one G2 -------------------
-        if self.mesh is None:
-            g1w = MSM.msm(G1P, tables["pts_g1"], g1_sc, self.c_bits,
-                          self.window_group, combine=False,
-                          segment=self.segment)
-            g2w = MSM.msm(G2P, tables["pts_g2"], wit_row[None], self.c_bits,
-                          self.window_group, combine=False,
-                          segment=self.segment)
-        else:
-            from .parallel import pmsm
-            g1w = pmsm.msm_sharded(G1P, tables["pts_g1"], g1_sc, self.c_bits,
-                                   self.mesh, self.window_group,
-                                   combine=False)
-            g2w = pmsm.msm_sharded(G2P, tables["pts_g2"], wit_row[None],
-                                   self.c_bits, self.mesh,
-                                   self.window_group, combine=False)
-        return g1w, g2w
+        return h_row, wit_row, c_row
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _pipeline_jit(self, witness, tables):
-        return self.pipeline(witness, tables)
+    def _front_jit(self, witness, tables):
+        return self.front(witness, tables)
 
     # -- public API ----------------------------------------------------------
 
@@ -317,10 +373,17 @@ class Prover:
                 else contextlib.nullcontext())
         self.last_phases = {}
         with prof, phase("device_pipeline", self.last_phases):
-            g1w, g2w = self._pipeline_jit(witness, self.tables())
-            # materialize (block_until_ready lies on tunneled backends)
-            g1w = [np.asarray(leaf) for leaf in g1w]     # 3 x (16, W, 4)
-            g2w = jax.tree.map(np.asarray, g2w)
+            tables = self.tables()
+            with phase("front", self.last_phases):
+                rows = self._front_jit(witness, tables)
+            with phase("msms", self.last_phases):
+                g1w, g2w = _msm_stage(
+                    tables["pts_g1"], tables["pts_g2"], *rows,
+                    c_bits=self.c_bits, window_group=self.window_group,
+                    segment=self.segment, mesh=self.mesh)
+                # materialize (block_until_ready lies on tunneled backends)
+                g1w = [np.asarray(leaf) for leaf in g1w]  # 3 x (16, W, 4)
+                g2w = jax.tree.map(np.asarray, g2w)
 
         # --- host: window combine + randomized assembly -------------------
         # all-projective int math (utils/hostcurve): inversion-free until
