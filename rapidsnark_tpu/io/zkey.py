@@ -165,6 +165,18 @@ def _g2_bytes(pt) -> bytes:
             + _mont_bytes_fq(y0) + _mont_bytes_fq(y1))
 
 
+def _pts_section(pts, g2: bool) -> bytes:
+    """Point-table section payload. Accepts ref plain-int affine points
+    (None = infinity) or an (n, k, 8) u32 Montgomery WORD array — the
+    latter IS the on-disk layout (tools/gen_big_fixture emits it
+    directly from device memory; a python-int round trip per point
+    would dominate 2^24-scale generation)."""
+    if isinstance(pts, np.ndarray):
+        return np.ascontiguousarray(pts.astype("<u4")).tobytes()
+    fn = _g2_bytes if g2 else _g1_bytes
+    return b"".join(fn(pt) for pt in pts)
+
+
 def write_zkey(path: str, zkey_data) -> None:
     """Write a ref.groth16.ZKeyData (plain-int points) as a .zkey file."""
     from ..ref.field import P, R_FR
@@ -179,7 +191,7 @@ def write_zkey(path: str, zkey_data) -> None:
     sec2 += _g2_bytes(zkey_data.vk_beta2) + _g2_bytes(zkey_data.vk_gamma2)
     sec2 += _g1_bytes(zkey_data.vk_delta1) + _g2_bytes(zkey_data.vk_delta2)
 
-    sec3 = b"".join(_g1_bytes(pt) for pt in zkey_data.ic)
+    sec3 = _pts_section(zkey_data.ic, g2=False)
 
     parts = [struct.pack("<I", len(zkey_data.coefs))]
     for (m, c, s, coef_mont) in zkey_data.coefs:
@@ -187,11 +199,11 @@ def write_zkey(path: str, zkey_data) -> None:
                      + coef_mont.to_bytes(NBYTES, "little"))
     sec4 = b"".join(parts)
 
-    sec5 = b"".join(_g1_bytes(pt) for pt in zkey_data.points_a)
-    sec6 = b"".join(_g1_bytes(pt) for pt in zkey_data.points_b1)
-    sec7 = b"".join(_g2_bytes(pt) for pt in zkey_data.points_b2)
-    sec8 = b"".join(_g1_bytes(pt) for pt in zkey_data.points_c)
-    sec9 = b"".join(_g1_bytes(pt) for pt in zkey_data.points_h)
+    sec5 = _pts_section(zkey_data.points_a, g2=False)
+    sec6 = _pts_section(zkey_data.points_b1, g2=False)
+    sec7 = _pts_section(zkey_data.points_b2, g2=True)
+    sec8 = _pts_section(zkey_data.points_c, g2=False)
+    sec9 = _pts_section(zkey_data.points_h, g2=False)
     sec10 = b""  # contributions: opaque, unused by the prover
 
     write_binfile(path, "zkey", 1, [

@@ -17,6 +17,7 @@ Writes sqchain<N>.zkey / sqchain<N>.wtns and pairing-verifies a proof
 when --check is given (slow for big N: host pairing only).
 """
 
+import functools
 import os
 import sys
 import time
@@ -67,6 +68,160 @@ def _limbs_to_plain(a):
     return [FQ_CTX.from_mont(v) for v in words_to_ints(packed)]
 
 
+# ---------------------------------------------------------------------------
+# Device batch-affine conversion (the 2^24 enabler)
+#
+# Round-1 versions fetched projective coordinates and ran one python-int
+# from_mont + inversion-share per point (~0.3 ms/pt, ~7 h for a 2^24
+# table set). All of that moves on device: prefix/suffix Montgomery
+# product passes give every z^-1 from ONE host inversion per chunk, the
+# affine multiply and the 16-bit-pair word packing stay on device, and
+# the host fetches only the final (b, k, 8) u32 word arrays — which are
+# byte-identical to the zkey section payload (io/zkey.py layout).
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _products_fn():
+    """(16, 2, b) stacked [z, reversed(z)] -> inclusive prefix products
+    along the last axis (ONE fori mul instantiation serves prefix AND
+    suffix)."""
+    import jax
+    import jax.numpy as jnp
+    from rapidsnark_tpu.ops.field import FQ
+
+    @jax.jit
+    def fn(z2):
+        b = z2.shape[-1]
+        steps = max((b - 1).bit_length(), 1)
+        lane = jnp.arange(b)
+
+        def body(i, x):
+            sh = jnp.int32(1) << i
+            rolled = jnp.roll(x, sh, axis=-1)
+            prod = FQ.mul(x, rolled)
+            return jnp.where((lane < sh)[None, None], x, prod)
+
+        return jax.lax.fori_loop(0, steps, body, z2)
+
+    return fn
+
+
+@functools.cache
+def _zsel_fn():
+    import jax
+    from rapidsnark_tpu.ops.field import FQ
+
+    @jax.jit
+    def fn(z):
+        return FQ.select(FQ.is_zero(z), FQ.one_mont(z.shape[1:]), z)
+
+    return fn
+
+
+def _batch_zinv(z_sel):
+    """z_sel: (16, b) nonzero Montgomery values. Returns (16, b) device
+    Montgomery inverses via prefix x suffix products + one host pow."""
+    import jax.numpy as jnp
+    from rapidsnark_tpu.ops.field import FQ
+    from rapidsnark_tpu.utils.limbs import int_to_limbs, limbs_to_int
+
+    b = z_sel.shape[1]
+    z2 = jnp.stack([z_sel, z_sel[:, ::-1]], axis=1)     # (16, 2, b)
+    pp = _products_fn()(z2)
+    pref, suf_r = pp[:, 0], pp[:, 1]
+    total = limbs_to_int(np.asarray(pref[:, -1]))        # Montgomery int
+    # inv in the Montgomery domain: want mont(v^-1) from mont(v)
+    v = FQ_CTX.from_mont(total)
+    inv_limbs = int_to_limbs(FQ_CTX.to_mont(pow(v, -1, P)))
+    return _zinv_fn()(pref, suf_r, jnp.asarray(inv_limbs[:, None]))
+
+
+@functools.cache
+def _zinv_fn():
+    import jax
+    import jax.numpy as jnp
+    from rapidsnark_tpu.ops.field import FQ
+
+    @jax.jit
+    def fn(pref, suf_r, inv_total):
+        b = pref.shape[1]
+        one = FQ.one_mont((b,))
+        # P_{i-1} (1 at lane 0) and T_{i+1} (1 at lane b-1)
+        pprev = jnp.where((jnp.arange(b) == 0)[None],
+                          one, jnp.roll(pref, 1, axis=1))
+        suf = suf_r[:, ::-1]                              # inclusive suffix
+        tnext = jnp.where((jnp.arange(b) == b - 1)[None],
+                          one, jnp.roll(suf, -1, axis=1))
+        zi = FQ.mul(FQ.mul(pprev, tnext),
+                    jnp.broadcast_to(inv_total, pref.shape))
+        return zi
+
+    return fn
+
+
+@functools.cache
+def _affine_pack_g1_fn():
+    import jax
+    import jax.numpy as jnp
+    from rapidsnark_tpu.ops.field import FQ
+
+    @jax.jit
+    def fn(x, y, z, zinv):
+        inf = FQ.is_zero(z)
+        xa = FQ.select(inf, FQ.zero(x.shape[1:]), FQ.mul(x, zinv))
+        ya = FQ.select(inf, FQ.zero(x.shape[1:]), FQ.mul(y, zinv))
+        words = jnp.stack([xa, ya], axis=1)               # (16, 2, b)
+        packed = words[0::2] | (words[1::2] << 16)        # (8, 2, b)
+        return jnp.transpose(packed, (2, 1, 0))           # (b, 2, 8)
+
+    return fn
+
+
+@functools.cache
+def _affine_pack_g2_fn():
+    import jax
+    import jax.numpy as jnp
+    from rapidsnark_tpu.ops.field import FQ
+
+    @jax.jit
+    def fn(x0, x1, y0, y1, z0, z1, ninv):
+        # zinv = conj(z) / norm(z); ninv = batch inverse of z0^2 + z1^2
+        inf = FQ.is_zero(z0) & FQ.is_zero(z1)
+        zi0 = FQ.mul(z0, ninv)
+        zi1 = FQ.neg(FQ.mul(z1, ninv))
+        zero = FQ.zero(x0.shape[1:])
+
+        def fq2_mul(a0, a1, b0, b1):
+            m0, m1, m2 = FQ.mul_many([(a0, b0), (a1, b1),
+                                      (FQ.add_lazy(a0, a1),
+                                       FQ.add_lazy(b0, b1))])
+            return FQ.sub(m0, m1), FQ.sub(FQ.sub(m2, m0), m1)
+
+        xa0, xa1 = fq2_mul(x0, x1, zi0, zi1)
+        ya0, ya1 = fq2_mul(y0, y1, zi0, zi1)
+        coords = [FQ.select(inf, zero, c) for c in (xa0, xa1, ya0, ya1)]
+        words = jnp.stack(coords, axis=1)                 # (16, 4, b)
+        packed = words[0::2] | (words[1::2] << 16)        # (8, 4, b)
+        return jnp.transpose(packed, (2, 1, 0))           # (b, 4, 8)
+
+    return fn
+
+
+@functools.cache
+def _g2_norm_fn():
+    import jax
+    from rapidsnark_tpu.ops.field import FQ
+
+    @jax.jit
+    def fn(z0, z1):
+        inf = FQ.is_zero(z0) & FQ.is_zero(z1)
+        m0, m1 = FQ.mul_many([(z0, z0), (z1, z1)])
+        norm = FQ.add(m0, m1)
+        return FQ.select(inf, FQ.one_mont(z0.shape[1:]), norm)
+
+    return fn
+
+
 def _g1_window_table():
     """Device table T[:, w*16 + d] = packed affine of (d << 4w) * G1
     ((0,0) = infinity for d = 0). Host-built with projective int math."""
@@ -89,9 +244,6 @@ def _g1_window_table():
         a = np.moveaxis(arr[:, k], -1, 0)           # (16, 1024)
         return jnp.asarray(a[0::2] | (a[1::2] << 16))
     return coord(0), coord(1)
-
-
-import functools
 
 
 @functools.cache
@@ -124,18 +276,17 @@ def _g1_table_cached():
     return _g1_window_table()
 
 
-def device_fixed_base_g1(scalars):
+def device_fixed_base_g1(scalars) -> np.ndarray:
     """[k]G1 for a list of plain ints, batched on device: 4-bit windowed
-    fixed-base (64 fused mixed adds per scalar lane — ~30x the 512-step
-    generic ladder this replaces). Returns ref affine points (None =
-    infinity)."""
+    fixed-base ladder + device batch-affine conversion. Returns
+    (n, 2, 8) u32 Montgomery affine WORDS ((0,0) rows = infinity) — the
+    zkey section payload layout (one host inversion per 2^17 chunk is
+    the only per-chunk python math)."""
     import jax.numpy as jnp
 
     tx, ty = _g1_table_cached()
     fn = _g1_chunk_fn()
-
-    def chunk_fn(words):
-        return fn(words, tx, ty)
+    pack = _affine_pack_g1_fn()
 
     out = []
     for lo in range(0, len(scalars), _CH):
@@ -143,19 +294,10 @@ def device_fixed_base_g1(scalars):
         b = len(chunk)
         if b < _CH:  # pad: ONE compiled shape for every table/tail
             chunk = list(chunk) + [0] * (_CH - b)
-        xs, ys, zs = [np.asarray(v)[:, :b] for v in
-                      chunk_fn(jnp.asarray(_ints_to_words_np(chunk)))]
-        # batch the affine conversion: one inversion for the chunk
-        zplain = _limbs_to_plain(zs)
-        nz = [(i, z) for i, z in enumerate(zplain) if z != 0]
-        invs = batch_inv([z for _, z in nz], P)
-        xplain = _limbs_to_plain(xs)
-        yplain = _limbs_to_plain(ys)
-        res = [None] * b
-        for (i, _), zi in zip(nz, invs):
-            res[i] = (xplain[i] * zi % P, yplain[i] * zi % P)
-        out.extend(res)
-    return out
+        x, y, z = fn(jnp.asarray(_ints_to_words_np(chunk)), tx, ty)
+        zinv = _batch_zinv(_zsel_fn()(z))
+        out.append(np.asarray(pack(x, y, z, zinv))[:b])
+    return np.concatenate(out, axis=0)
 
 
 def fast_setup(r1cs, seed="rapidsnark-tpu-test"):
@@ -305,37 +447,28 @@ def _g2_chunk_fn():
     return chunk_fn
 
 
-def _device_fixed_base_g2(scalars):
+def _device_fixed_base_g2(scalars) -> np.ndarray:
+    """[k]G2 word table, (n, 4, 8) u32 (x.c0 x.c1 y.c0 y.c1): fixed-base
+    ladder + device Fq2 batch-affine (conj/norm with one Fq batch
+    inverse of the norms per chunk)."""
     import jax.numpy as jnp
-    from rapidsnark_tpu.ref.field import fq2_inv, fq2_mul
 
     tabs = _g2_window_table()
     fn = _g2_chunk_fn()
-
-    def chunk_fn(words):
-        return fn(words, *tabs)
+    pack = _affine_pack_g2_fn()
 
     out = []
-    for lo in range(0, len(scalars), _CH // 2):
-        chunk = scalars[lo:lo + _CH // 2]
+    step = _CH // 2
+    for lo in range(0, len(scalars), step):
+        chunk = scalars[lo:lo + step]
         b = len(chunk)
-        if b < _CH // 2:
-            chunk = list(chunk) + [0] * (_CH // 2 - b)
-        proj = chunk_fn(jnp.asarray(_ints_to_words_np(chunk)))
-        (x0, x1), (y0, y1), (z0, z1) = [
-            tuple(np.asarray(c)[:, :b] for c in coord) for coord in proj]
-        z0p, z1p = _limbs_to_plain(z0), _limbs_to_plain(z1)
-        x0p, x1p = _limbs_to_plain(x0), _limbs_to_plain(x1)
-        y0p, y1p = _limbs_to_plain(y0), _limbs_to_plain(y1)
-        for i in range(b):
-            zq = (z0p[i], z1p[i])
-            if zq == (0, 0):
-                out.append(None)
-                continue
-            zi = fq2_inv(zq)
-            out.append((fq2_mul((x0p[i], x1p[i]), zi),
-                        fq2_mul((y0p[i], y1p[i]), zi)))
-    return out
+        if b < step:
+            chunk = list(chunk) + [0] * (step - b)
+        (x0, x1), (y0, y1), (z0, z1) = fn(
+            jnp.asarray(_ints_to_words_np(chunk)), *tabs)
+        ninv = _batch_zinv(_g2_norm_fn()(z0, z1))
+        out.append(np.asarray(pack(x0, x1, y0, y1, z0, z1, ninv))[:b])
+    return np.concatenate(out, axis=0)
 
 
 def main():
