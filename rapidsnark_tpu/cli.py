@@ -40,7 +40,26 @@ def run_prove(zkey_path: str, wtns_path: str, proof_path: str,
     if wtns.prime != R_FR:
         raise ValueError("different wtns curve")      # main_prover.cpp:54
 
-    prover = Prover(zkey, window_bits=window_bits)
+    # Sharded / multi-host execution (a capability the reference lacks;
+    # its CLI contract stays untouched — config rides env knobs):
+    #   RSTPU_SHARD=1                shard over every local device
+    #   RSTPU_NPROCS/RSTPU_PROC_ID/RSTPU_COORD
+    #                                multi-process (jax.distributed);
+    #                                every process runs this same CLI
+    import os
+    mesh = None
+    if os.environ.get("RSTPU_NPROCS") or os.environ.get("RSTPU_COORD"):
+        from .parallel import multihost
+        multihost.initialize()
+        mesh = multihost.global_mesh()
+    elif os.environ.get("RSTPU_SHARD", "0") != "0":
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        if len(jax.devices()) > 1:
+            mesh = Mesh(np.array(jax.devices()), ("shard",))
+
+    prover = Prover(zkey, window_bits=window_bits, mesh=mesh)
     proof, publics = prover.prove(wtns.values)
 
     # Byte-exact output: the reference streams nlohmann::json objects with

@@ -142,13 +142,13 @@ class Prover:
         self.pts_g2 = ((cs[0], cs[1]), (cs[2], cs[3]))
 
         if mesh is not None:
-            from jax.sharding import NamedSharding
-            from .parallel import pmsm
-            sh = NamedSharding(mesh, pmsm.point_spec(3))
+            from .parallel import multihost, pmsm
             self.pts_g1 = jax.tree.map(
-                lambda a: jax.device_put(a, sh), self.pts_g1)
+                lambda a: multihost.put_sharded(a, mesh, pmsm.point_spec(3)),
+                self.pts_g1)
             self.pts_g2 = jax.tree.map(
-                lambda a: jax.device_put(a, sh), self.pts_g2)
+                lambda a: multihost.put_sharded(a, mesh, pmsm.point_spec(3)),
+                self.pts_g2)
 
         # --- vk points as host ref affine (assembly runs host-side) ------
         self.ref_vk = {
@@ -210,6 +210,25 @@ class Prover:
                 self.dntt_arrays = self.dntt_plan.arrays()
             except ValueError:
                 self.dntt_plan = None  # tiny domain: replicated NTT
+
+        # multi-controller jobs: non-sharded tables must be GLOBAL
+        # (replicated) arrays — a locally-committed array cannot enter
+        # a jit over the global mesh (parallel/multihost.py)
+        if mesh is not None and jax.process_count() > 1:
+            from .parallel import multihost
+
+            def rep(a):
+                return multihost.replicate(np.asarray(a), mesh)
+
+            self.coef_seg = rep(self.coef_seg)
+            self.coef_s = rep(self.coef_s)
+            self.coef_val = rep(self.coef_val)
+            if self.acc2_seg is not None:
+                self.acc2_seg = rep(self.acc2_seg)
+            self.ntt_arrays = {k: rep(v)
+                               for k, v in self.ntt_arrays.items()}
+            self.dntt_arrays = {k: rep(v)
+                                for k, v in self.dntt_arrays.items()}
 
         self.last_phases: Dict[str, float] = {}
         # jit static key: equal-config Provers share ONE compiled
@@ -355,12 +374,30 @@ class Prover:
             r = sample_rs()
         if s is None:
             s = sample_rs()
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-controller: every process must assemble with the SAME
+            # randomness (device results are identical; r/s enter only the
+            # host-side assembly) — process 0's sample wins
+            from jax.experimental import multihost_utils
+            words = np.frombuffer(
+                r.to_bytes(32, "little") + s.to_bytes(32, "little"),
+                dtype="<u4").copy()
+            words = np.asarray(
+                multihost_utils.broadcast_one_to_all(words))
+            buf = words.tobytes()
+            r = int.from_bytes(buf[:32], "little")
+            s = int.from_bytes(buf[32:], "little")
         rs = r * s % R_FR  # toMontgomery(mont_mul(r,s)), groth16.cpp:241-242
         t0 = time.perf_counter()
 
         wit = np.asarray(witness_words, dtype=np.uint32)
         assert wit.shape == (self.n_vars, 8)
-        witness = jnp.asarray(np.ascontiguousarray(wit.T))  # (8, nVars)
+        wit_t = np.ascontiguousarray(wit.T)                 # (8, nVars)
+        if self.mesh is not None and jax.process_count() > 1:
+            from .parallel import multihost
+            witness = multihost.replicate(wit_t, self.mesh)
+        else:
+            witness = jnp.asarray(wit_t)
 
         # phase-labeled timeline mirroring the reference's LOG_TRACE
         # stages through prove() (groth16.cpp:51-202, SURVEY.md §5.1);
