@@ -26,8 +26,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BLOCK = 1024  # lanes per kernel instance; ~8 MB of live (16,BLOCK) u32
-# temporaries at the formula's peak fits the 16 MB VMEM scoped limit
+BLOCK = 128  # lanes per kernel instance: ONE vreg lane tile. Round-2
+# sweep on v5e: 128-lane blocks beat the round-1 1024/512-lane schedule
+# by 25-35% on every adder-bound phase (small blocks keep live
+# temporaries tiny, so Mosaic overlaps grid steps); RSTPU_FUSED_BLOCK /
+# RSTPU_SCAN_BLOCK override for re-tuning on other TPU generations
 
 
 @functools.cache
@@ -103,9 +106,10 @@ def _binary(fn, fallback, p, q, n_out_leaves: int, out_tree: bool = False,
         return fallback(p, q)
 
     np_, nq = len(p_leaves), len(q_leaves)
-    # Fq2 (2x leaves) doubles the live temporaries: halve the block
-    blk = min(blk_max or (BLOCK if np_ <= 3 else BLOCK // 2),
-              _round_up(n, 128))
+    env_blk = os.environ.get("RSTPU_FUSED_BLOCK")
+    if not blk_max and env_blk:
+        blk_max = int(env_blk)
+    blk = min(blk_max or BLOCK, _round_up(n, 128))
     npad = _round_up(n, blk)
 
     def prep(a):
@@ -194,10 +198,13 @@ def scan_cols_packed(curve, acc, cols):
             outs.append(a)
         return tuple(outs)
 
-    # measured optimum at 2^18 (PERF.md): 512-lane blocks for the scan
-    # kernel regardless of curve
+    # measured optimum at 2^18 on v5e (PERF.md): ONE 128-lane vreg tile
+    # per scan-kernel block — the small block keeps live temporaries
+    # tiny so Mosaic double-buffers the grid; 512-lane blocks were ~25%
+    # slower (RSTPU_SCAN_BLOCK overrides for tuning)
+    blk = int(os.environ.get("RSTPU_SCAN_BLOCK", 128))
     return _binary(fn, fn, acc, cols, out_leaves, out_tree=True,
-                   blk_max=BLOCK // 2)
+                   blk_max=blk)
 
 
 def add_mixed_packed(curve, p, q_packed):

@@ -47,17 +47,25 @@ from .curve import CurveOps, G1P, G2P, _map_leaves, _shape_of
 SCALAR_BITS = 256
 _CHUNK = 256  # columns of the sequential chunk scan
 # columns fused per scan kernel (the accumulator stays in VMEM across
-# them); measured optima at 2^18: 2 for G1, 4 for G2 (Fq2's 3x-costlier
-# adds amortize more launches before VMEM pressure bites)
-_SCAN_COLS_G1 = 2
-_SCAN_COLS_G2 = 4
+# them); measured optima at 2^18 on v5e with 128-lane scan blocks
+# (round-2 sweep: G1 1615->1229 ms, G2 1397->991 ms vs the round-1
+# 512-lane/K=2/4 schedule — small blocks pipeline better across the
+# grid; see PERF.md)
+_SCAN_COLS_G1 = 1
+_SCAN_COLS_G2 = 2
 
 
 @functools.cache
 def _scan_cols(is_g2: bool) -> int:
     """Adder instantiations per scan step. On CPU (tests/dryrun) each
     extra column is one more ~2-6s XLA compile of the complete adder
-    with zero benefit (no VMEM/launch economics): keep 1."""
+    with zero benefit (no VMEM/launch economics): keep 1.
+    RSTPU_SCAN_COLS_G1/_G2 override for tuning."""
+    import os
+    env = os.environ.get("RSTPU_SCAN_COLS_G2" if is_g2
+                         else "RSTPU_SCAN_COLS_G1")
+    if env:
+        return int(env)
     if jax.default_backend() == "cpu":
         return 1
     return _SCAN_COLS_G2 if is_g2 else _SCAN_COLS_G1

@@ -413,6 +413,7 @@ class Prover:
             tables = self.tables()
             with phase("front", self.last_phases):
                 rows = self._front_jit(witness, tables)
+                jax.block_until_ready(rows)  # phase attribution (~ms)
             with phase("msms", self.last_phases):
                 g1w, g2w = _msm_stage(
                     tables["pts_g1"], tables["pts_g2"], *rows,
