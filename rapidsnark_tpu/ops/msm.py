@@ -152,6 +152,33 @@ def _hillis_prefix(curve: CurveOps, pt, size: int):
     return jax.lax.fori_loop(0, steps, body, pt) if steps else pt
 
 
+def _prefix_2level(curve: CurveOps, pt, size: int):
+    """Inclusive running group sum along the last axis, work-efficient.
+
+    Two-level decomposition: Hillis passes do size*log2(size) adds; at
+    bucket-extraction sizes (2^11+ lanes for c=12+) that log factor is
+    the dominant bucket-phase cost and caps the useful window size.
+    Splitting into (size/bi, bi) blocks — inner prefix, outer prefix of
+    block totals, one broadcast add — cuts the work to about
+    size*(log2(bi) + 1) for 3 adder instantiations instead of 1."""
+    if size <= 64 or (size & (size - 1)):
+        return _hillis_prefix(curve, pt, size)
+    bi = 1 << ((size.bit_length() + 1) // 2)
+    bo = size // bi
+    split = _pt_map(pt, lambda a: a.reshape(a.shape[:-1] + (bo, bi)))
+    inner = _hillis_prefix(curve, split, bi)
+    tots = _pt_map(inner, lambda a: a[..., -1])
+    outer = _hillis_prefix(curve, tots, bo)
+    rolled = _pt_map(outer, lambda a: jnp.roll(a, 1, axis=-1))
+    bshape = _shape_of(tots[0])
+    excl = curve.select(jnp.arange(bo) == 0, curve.inf(bshape), rolled)
+    summed = _add(curve, inner, _pt_map(
+        excl, lambda a: jnp.broadcast_to(a[..., None],
+                                         a.shape + (bi,))))
+    return _pt_map(summed,
+                   lambda a: a.reshape(a.shape[:-2] + (size,)))
+
+
 def _chunked_prefix(curve: CurveOps, pt, sign, batch: Tuple[int, ...],
                     n: int):
     """All-positions inclusive prefix group sums along the last axis.
@@ -195,7 +222,7 @@ def _chunked_prefix(curve: CurveOps, pt, sign, batch: Tuple[int, ...],
         return a.reshape(a.shape[:-2] + (nb * C,))
     within = jax.tree.map(from_cols_k, *within_k)
 
-    incl = _hillis_prefix(curve, tot, nb)
+    incl = _prefix_2level(curve, tot, nb)
     rolled = _pt_map(incl, lambda a: jnp.roll(a, 1, axis=-1))
     excl = curve.select(jnp.arange(nb) == 0, curve.inf(batch + (nb,)), rolled)
     return within, excl
@@ -329,7 +356,14 @@ def best_window_bits(n: int, segment: int = 0) -> int:
     phase ~ 18 * 2^(c-1) point-equivalents (fitted on v5e at 2^18;
     signed digits: bucket range is 2^(c-1)). With segmentation, each of
     the n/segment slices pays a ~8 * 2^(c-1) bucket extraction and the
-    weighted pass is paid once."""
+    weighted pass is paid once.
+
+    Unsegmented large MSMs use the directly measured v5e optimum: c=13
+    beat c=12 by 5%/10% and c=14 by 12%/4% at 2^18/2^20 (round-2 sweep,
+    2-level extraction scans) — the model's extraction term is too
+    coarse to resolve the 13-vs-12 margin."""
+    if not segment and n >= (1 << 17):
+        return 13
     nseg = max(n // segment, 1) if segment else 1
     best, best_cost = 1, None
     for c in range(1, 17):
@@ -398,7 +432,7 @@ def _weighted_total(curve: CurveOps, buckets, c: int):
     nbuckets = (1 << (c - 1)) + 1
     brev = _pt_map(buckets, lambda a: a[..., 1:][..., ::-1])
     total = jax.lax.fori_loop(
-        0, 2, lambda _, x: _hillis_prefix(curve, x, nbuckets - 1), brev)
+        0, 2, lambda _, x: _prefix_2level(curve, x, nbuckets - 1), brev)
     return _pt_map(total, lambda a: a[..., -1])
 
 
