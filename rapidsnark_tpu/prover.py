@@ -266,8 +266,8 @@ class Prover:
         return out
 
     def pipeline(self, witness, tables):
-        """witness: (8, nVars) u32 words, standard-form (Wtns.values
-        transposed); tables:
+        """witness: (nVars, 8) u32 words, standard-form (Wtns.values
+        as stored in the wtns section-2 payload); tables:
         self.tables(). Returns (g1_windows, g2_windows): per-window
         Pippenger totals, leaves (16, W, 4) / (16, W, 1) — W*5 points.
 
@@ -296,10 +296,11 @@ class Prover:
         n, nmax = self.domain, self.nmax
 
         # --- witness -> a, b, c evaluations (groth16.cpp:52-96) ----------
-        # witness arrives PACKED (8, nVars): the host->device upload is
-        # tunnel-bandwidth-bound (PERF.md), so only payload bytes move
-        wp = jnp.take(witness, tables["coef_s"], axis=1)  # (8, nCoefs)
-        w = MSM.unpack_limb_rows(wp)                      # (16, nCoefs)
+        # witness arrives PACKED (nVars, 8) — the wtns section-2 payload
+        # uploaded AS-IS (upload is tunnel-bandwidth-bound, PERF.md, so
+        # only payload bytes move and the transpose happens on device)
+        wp = jnp.take(witness, tables["coef_s"], axis=0)  # (nCoefs, 8)
+        w = MSM.unpack_limb_rows(wp.T)                    # (16, nCoefs)
         cv = MSM.unpack_limb_rows(tables["coef_val"].T)   # words -> limbs
         prod = FR.mul(w, cv)                              # standard-form
 
@@ -351,11 +352,11 @@ class Prover:
         # --- scalar rows for the 5 MSMs (plain LE integers, packed) ------
         hp = MSM.pack_limb_rows(h)                           # (8, n)
         wit_row = jnp.zeros((nmax, 8), jnp.uint32
-                            ).at[:self.n_vars].set(witness.T)
+                            ).at[:self.n_vars].set(witness)
         h_row = jnp.zeros((nmax, 8), jnp.uint32).at[:n].set(hp.T)
         c_row = jnp.zeros((nmax, 8), jnp.uint32
                           ).at[:self.n_c].set(
-                              witness[:, self.n_public + 1:].T)
+                              witness[self.n_public + 1:])
         return h_row, wit_row, c_row
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -392,12 +393,13 @@ class Prover:
 
         wit = np.asarray(witness_words, dtype=np.uint32)
         assert wit.shape == (self.n_vars, 8)
-        wit_t = np.ascontiguousarray(wit.T)                 # (8, nVars)
+        # uploaded in wtns payload order (nVars, 8): zero host-side
+        # reshuffling; the device transposes in the jitted front
         if self.mesh is not None and jax.process_count() > 1:
             from .parallel import multihost
-            witness = multihost.replicate(wit_t, self.mesh)
+            witness = multihost.replicate(wit, self.mesh)
         else:
-            witness = jnp.asarray(wit_t)
+            witness = jnp.asarray(wit)
 
         # phase-labeled timeline mirroring the reference's LOG_TRACE
         # stages through prove() (groth16.cpp:51-202, SURVEY.md §5.1);
