@@ -16,11 +16,14 @@ os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# Persistent compilation cache: first full test run pays the compiles,
-# later runs (and repeated shapes within one run) hit the cache.
+# Persistent compilation cache (default <repo>/.jax_cache, RSTPU_CACHE
+# overrides): the committed .jax_cache_seed entries are adopted by
+# enable(), so a fresh clone's first test run skips the multi-minute
+# XLA:CPU pipeline compiles; repeated shapes within one run hit the
+# in-process cache either way.
 from rapidsnark_tpu.utils import cache as _cache  # noqa: E402
 
-_cache.enable(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+_cache.enable()
 
 # The axon sitecustomize force-registers the TPU platform regardless of
 # JAX_PLATFORMS; override at the config level before any device use.
