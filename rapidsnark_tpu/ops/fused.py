@@ -244,7 +244,11 @@ def ntt_butterfly(lo, hi, tw, dif: bool):
     n = int(np.prod(shape[1:]))
     if not enabled() or n < 256:
         return fb(lo, hi, tw)
-    blk = min(BLOCK, _round_up(n, 128))
+    # butterfly stages are HBM-bandwidth-bound, not adder-bound: big
+    # blocks keep the DMA granule large (128-lane blocks measured ~25
+    # GB/s effective at 2^20; the adder-kernel optimum does NOT apply)
+    blk = min(int(os.environ.get("RSTPU_NTT_BLOCK", 2048)),
+              _round_up(n, 128))
     npad = _round_up(n, blk)
 
     def prep(a):

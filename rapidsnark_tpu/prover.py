@@ -160,39 +160,68 @@ class Prover:
         }
 
         # --- coefficient table (zkey section 4) --------------------------
+        # TPU-idiomatic replacement for the reference's striped-lock
+        # scatter (groth16.cpp:63-85), redesigned scatter-FREE: records
+        # are binned by target row (a|b, constraint) ON THE HOST at load
+        # time into K fixed slots per row, so the device accumulation is
+        # a pure reshape-reduce — gather witness rows, one mont_mul, sum
+        # over the K slot axis. (jax.ops.segment_sum lowers to a TPU
+        # scatter that measured ~25x slower than the arithmetic it
+        # feeds.) Rows denser than K spill to a LEFTOVER segment-sum
+        # pass; rows denser than 2^15 (the deferred-carry headroom:
+        # limb column sums must stay < 2^31) additionally go through a
+        # two-level subsegment pass, so any density is handled.
         n = self.domain
         seg = zkey.coef_m.astype(np.int64) * n + zkey.coef_c.astype(np.int64)
-        self.coef_s = jnp.asarray(zkey.coef_s.astype(np.int32))
-        self.coef_val = jnp.asarray(zkey.coef_val)  # (nCoefs, 8) words, Montgomery
-        # deferred-carry headroom: limb column sums must stay < 2^31, so
-        # one segment_sum pass tolerates < 2^15 16-bit terms per segment.
-        # Denser rows (the reference's striped-lock scatter handles any
-        # density, groth16.cpp:63-85) go through a TWO-LEVEL pass: records
-        # split into subsegments of <= 2^15 terms, stage-1 subtotals are
-        # canonicalized (< 2^16 limbs), stage 2 sums the subtotals per
-        # segment — bounded again since a segment of nCoefs < 2^30 records
-        # has < 2^15 subsegments.
+        ncoefs = seg.shape[0]
+        coef_s = zkey.coef_s.astype(np.int32)
+        coef_val = np.asarray(zkey.coef_val)        # (nCoefs, 8) Montgomery
         counts = np.bincount(seg, minlength=2 * n)
+        order = np.argsort(seg, kind="stable")
+        starts = np.zeros(2 * n, np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        rank = np.empty(ncoefs, np.int64)
+        rank[order] = np.arange(ncoefs) - starts[seg[order]]
+        # smallest K with <= 5% of records spilling (K = typical row
+        # density; sqchain/R1CS rows have 1-3 terms per side)
+        K = 1
+        while (np.count_nonzero(rank >= K) > 0.05 * ncoefs
+               and K < 16):
+            K += 1
+        self.coef_slots = K
+        main = rank < K
+        slot = (seg[main] * K + rank[main]).astype(np.int64)
+        s_pad = np.zeros(2 * n * K, np.int32)       # dummy -> wire 0
+        v_pad = np.zeros((2 * n * K, 8), np.uint32)  # dummy -> coef 0
+        s_pad[slot] = coef_s[main]
+        v_pad[slot] = coef_val[main]
+        self.coef_s = jnp.asarray(s_pad)
+        self.coef_val = jnp.asarray(v_pad)
+        # leftover records (rank >= K): segment-sum path, two-level when
+        # a row exceeds the 2^15-term deferred-carry headroom
+        left = np.nonzero(~main)[0]
         cap = 1 << 15
-        if counts.max(initial=0) < cap:
-            self.coef_seg = jnp.asarray(seg.astype(np.int32))
-            self.acc1_segments = 2 * n
-            self.acc2_seg = None
-        else:
-            order = np.argsort(seg, kind="stable")
-            starts = np.zeros(2 * n, np.int64)
-            starts[1:] = np.cumsum(counts)[:-1]
-            rank = np.empty(seg.shape[0], np.int64)
-            rank[order] = np.arange(seg.shape[0]) - starts[seg[order]]
-            nsub = (int(counts.max()) - 1) // cap + 1
-            if nsub >= cap:
-                raise ValueError("coefficient section too dense "
-                                 "(> 2^30 terms on one row)")
-            key = seg * nsub + (rank >> 15)
-            uniq, inv = np.unique(key, return_inverse=True)
-            self.coef_seg = jnp.asarray(inv.astype(np.int32))
-            self.acc1_segments = int(uniq.shape[0])
-            self.acc2_seg = jnp.asarray((uniq // nsub).astype(np.int32))
+        self.left_s = self.left_val = self.left_seg = None
+        self.acc2_seg = None
+        self.acc1_segments = 0
+        if left.size:
+            lseg = seg[left]
+            lrank = rank[left] - K
+            self.left_s = jnp.asarray(coef_s[left])
+            self.left_val = jnp.asarray(coef_val[left])
+            if int(counts.max()) - K < cap:
+                self.left_seg = jnp.asarray(lseg.astype(np.int32))
+                self.acc1_segments = 2 * n
+            else:
+                nsub = (int(counts.max()) - K - 1) // cap + 1
+                if nsub >= cap:
+                    raise ValueError("coefficient section too dense "
+                                     "(> 2^30 terms on one row)")
+                key = lseg * nsub + (lrank >> 15)
+                uniq, inv = np.unique(key, return_inverse=True)
+                self.left_seg = jnp.asarray(inv.astype(np.int32))
+                self.acc1_segments = int(uniq.shape[0])
+                self.acc2_seg = jnp.asarray((uniq // nsub).astype(np.int32))
 
         # --- NTT plan for the proving domain ------------------------------
         plan = NTTPlan(self.power)
@@ -220,11 +249,12 @@ class Prover:
             def rep(a):
                 return multihost.replicate(np.asarray(a), mesh)
 
-            self.coef_seg = rep(self.coef_seg)
             self.coef_s = rep(self.coef_s)
             self.coef_val = rep(self.coef_val)
-            if self.acc2_seg is not None:
-                self.acc2_seg = rep(self.acc2_seg)
+            for name in ("left_s", "left_val", "left_seg", "acc2_seg"):
+                v = getattr(self, name)
+                if v is not None:
+                    setattr(self, name, rep(v))
             self.ntt_arrays = {k: rep(v)
                                for k, v in self.ntt_arrays.items()}
             self.dntt_arrays = {k: rep(v)
@@ -237,10 +267,12 @@ class Prover:
         mesh_key = None if mesh is None else (
             tuple(mesh.shape.items()), tuple(str(d) for d in
                                              mesh.devices.flat))
+        nleft = 0 if self.left_s is None else self.left_s.shape[0]
         self._config_key = (self.n_vars, self.n_public, self.domain,
                             self.n_c, self.nmax, self.c_bits,
                             self.window_group, self.segment, self.ntt_seq,
-                            zkey.n_coefs, self.acc1_segments, mesh_key)
+                            zkey.n_coefs, self.coef_slots, nleft,
+                            self.acc1_segments, mesh_key)
 
     def __hash__(self):
         return hash(self._config_key)
@@ -257,12 +289,13 @@ class Prover:
         passes choke on multi-GB literals)."""
         out = {
             "pts_g1": self.pts_g1, "pts_g2": self.pts_g2,
-            "coef_seg": self.coef_seg, "coef_s": self.coef_s,
-            "coef_val": self.coef_val, "ntt": self.ntt_arrays,
-            "dntt": self.dntt_arrays,
+            "coef_s": self.coef_s, "coef_val": self.coef_val,
+            "ntt": self.ntt_arrays, "dntt": self.dntt_arrays,
         }
-        if self.acc2_seg is not None:
-            out["acc2_seg"] = self.acc2_seg
+        for name in ("left_s", "left_val", "left_seg", "acc2_seg"):
+            v = getattr(self, name)
+            if v is not None:
+                out[name] = v
         return out
 
     def pipeline(self, witness, tables):
@@ -298,26 +331,35 @@ class Prover:
         # --- witness -> a, b, c evaluations (groth16.cpp:52-96) ----------
         # witness arrives PACKED (nVars, 8) — the wtns section-2 payload
         # uploaded AS-IS (upload is tunnel-bandwidth-bound, PERF.md, so
-        # only payload bytes move and the transpose happens on device)
-        wp = jnp.take(witness, tables["coef_s"], axis=0)  # (nCoefs, 8)
-        w = MSM.unpack_limb_rows(wp.T)                    # (16, nCoefs)
+        # only payload bytes move and the transpose happens on device).
+        # Records were host-binned into K slots per target row (see
+        # __init__): the accumulation is gather + mul + a reshape-reduce
+        # over the slot axis — no device scatter.
+        K = self.coef_slots
+        wp = jnp.take(witness, tables["coef_s"], axis=0)  # (2n*K, 8)
+        w = MSM.unpack_limb_rows(wp.T)                    # (16, 2n*K)
         cv = MSM.unpack_limb_rows(tables["coef_val"].T)   # words -> limbs
         prod = FR.mul(w, cv)                              # standard-form
+        acc = FF.pack(prod).reshape(2 * n, K, 16).sum(
+            axis=1, dtype=jnp.uint32)                     # (2n, 16)
 
-        # limb-space scatter-add: TPU-idiomatic striped-lock replacement
-        data = FF.pack(prod)                             # (nCoefs, 16)
-        acc = jax.ops.segment_sum(data, tables["coef_seg"],
-                                  num_segments=self.acc1_segments)
-        if self.acc2_seg is not None:
-            # dense rows: canonicalize the <= 2^15-term subsegment sums,
-            # then segment-sum the subtotals to their target row (the
-            # second pass is bounded by < 2^15 subsegments per row)
-            m1 = self.acc1_segments
-            acc = jnp.concatenate(
-                [acc, jnp.zeros((m1, 2), jnp.uint32)], axis=1)
-            mid = FR.reduce_wide(FF.unpack(acc))         # (16, M) canonical
-            acc = jax.ops.segment_sum(FF.pack(mid), tables["acc2_seg"],
-                                      num_segments=2 * n)
+        if "left_s" in tables:
+            # spilled records (> K terms on a row): segment-sum pass;
+            # two-level when a row exceeds the 2^15-term carry headroom
+            lwp = jnp.take(witness, tables["left_s"], axis=0)
+            lprod = FR.mul(MSM.unpack_limb_rows(lwp.T),
+                           MSM.unpack_limb_rows(tables["left_val"].T))
+            lacc = jax.ops.segment_sum(FF.pack(lprod), tables["left_seg"],
+                                       num_segments=self.acc1_segments)
+            if self.acc2_seg is not None:
+                m1 = self.acc1_segments
+                lacc = jnp.concatenate(
+                    [lacc, jnp.zeros((m1, 2), jnp.uint32)], axis=1)
+                mid = FR.reduce_wide(FF.unpack(lacc))    # canonical
+                lacc = jax.ops.segment_sum(
+                    FF.pack(mid), tables["acc2_seg"], num_segments=2 * n)
+            acc = acc + lacc                             # columns < 2^31
+
         acc = jnp.concatenate(
             [acc, jnp.zeros((2 * n, 2), jnp.uint32)], axis=1)  # carry room
         ab = FR.reduce_wide(FF.unpack(acc))              # (16, 2N) canonical

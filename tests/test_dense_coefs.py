@@ -66,8 +66,31 @@ def test_dense_row_two_level_accumulation_bit_identical():
         and proof.c == expect.c
 
 
-def test_sparse_rows_stay_single_pass():
+def test_sparse_rows_stay_scatter_free():
+    """Typical (sparse) rows bin fully into the K host-side slots: the
+    device accumulation is a pure reshape-reduce with NO segment_sum."""
     zk = read_zkey(os.path.join(FIXTURES, "multiplier.zkey"))
     prover = Prover(zk, window_bits=4)
+    assert prover.left_s is None       # nothing spilled
     assert prover.acc2_seg is None
-    assert prover.acc1_segments == 2 * zk.domain_size
+    assert prover.coef_slots <= 16
+
+
+def test_mid_density_rows_spill_to_segment_sum():
+    """Rows denser than the slot count (but under the 2^15 carry cap)
+    spill to the single-pass leftover segment_sum and still prove
+    bit-identically."""
+    zk = read_zkey(os.path.join(FIXTURES, "multiplier.zkey"))
+    wt = read_wtns(os.path.join(FIXTURES, "multiplier.wtns"))
+    dense = _split_record(zk, 0, 100)  # > 16 slots, < 2^15 cap
+
+    prover = Prover(dense, window_bits=4)
+    assert prover.left_s is not None   # leftover pass engaged
+    assert prover.acc2_seg is None     # but not the two-level pass
+
+    r, s = 456, 789
+    proof, publics = prover.prove(wt.values, r=r, s=s)
+    expect = ref_prove(zkey_to_ref(dense), words_to_ints(wt.values),
+                       r=r, s=s)
+    assert proof.a == expect.a and proof.b == expect.b \
+        and proof.c == expect.c
