@@ -75,7 +75,23 @@ class ZKey:
     ic: Optional[np.ndarray] = None  # (nPublic+1, 2, 8)
     # Underlying mapped file. Kept open for the lifetime of the ZKey, like
     # the reference keeps raw section pointers alive (main_prover.cpp:67-74).
+    # Point/coef arrays view the map zero-copy: close() invalidates them,
+    # so call it only once the ZKey (or a Prover built from it, which
+    # repacks the tables) is done with.
     file: Optional[BinFile] = None
+
+    def close(self) -> None:
+        """Unmap the backing file (long-running services re-registering
+        circuits would otherwise accumulate maps)."""
+        if self.file is not None:
+            self.file.close()
+            self.file = None
+
+    def __enter__(self) -> "ZKey":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def read_zkey(path: str) -> ZKey:

@@ -99,3 +99,19 @@ def test_coef_values_are_montgomery():
     vals = words_to_ints(zk.coef_val)
     # all fixture coefficients are 1 or small negatives in plain form
     assert FR_CTX.from_mont(vals[0]) == 1
+
+
+def test_zkey_close_and_context_manager():
+    # close() unmaps the backing file; a context-managed read does the
+    # same on exit (long-running services re-registering circuits must
+    # not accumulate maps — divergence from the reference, which keeps
+    # one malloc'd copy alive forever, binfile_utils.cpp:28-31)
+    zk = read_zkey(os.path.join(FIXTURES, "sqchain64.zkey"))
+    assert zk.file is not None
+    zk.close()
+    assert zk.file is None
+    zk.close()  # idempotent
+
+    with read_zkey(os.path.join(FIXTURES, "sqchain64.zkey")) as zk2:
+        assert zk2.n_vars > 0
+    assert zk2.file is None
