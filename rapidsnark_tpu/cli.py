@@ -60,6 +60,7 @@ def run_prove(zkey_path: str, wtns_path: str, proof_path: str,
             mesh = Mesh(np.array(jax.devices()), ("shard",))
 
     prover = Prover(zkey, window_bits=window_bits, mesh=mesh)
+    zkey.close()  # tables are repacked on device; drop the file map
     proof, publics = prover.prove(wtns.values)
 
     # Byte-exact output: the reference streams nlohmann::json objects with

@@ -39,11 +39,11 @@ def _build() -> bool:
 
 def load_library() -> Optional[ctypes.CDLL]:
     global _lib
+    mode = os.environ.get("RSTPU_NATIVE", "")
+    if mode == "0":  # checked before the cache: the knob works mid-process
+        return None
     if _lib is not None:
         return _lib
-    mode = os.environ.get("RSTPU_NATIVE", "")
-    if mode == "0":
-        return None
     if not os.path.exists(_SO_PATH) and not _build():
         if mode == "1":
             raise RuntimeError("native binfile loader unavailable "
@@ -103,6 +103,12 @@ class NativeBinFile:
 
     def close(self):
         if self._h:
+            # neutralize the view FIRST: any section_u8/section_bytes
+            # use after close raises (AttributeError/TypeError) instead
+            # of silently reading unmapped memory. Arrays handed out
+            # earlier still dangle — callers must drop them before
+            # closing (io/zkey.py ZKey.close does).
+            self._buf = None
             self._lib.bf_close(self._h)
             self._h = None
 

@@ -82,7 +82,18 @@ class ZKey:
 
     def close(self) -> None:
         """Unmap the backing file (long-running services re-registering
-        circuits would otherwise accumulate maps)."""
+        circuits would otherwise accumulate maps).
+
+        The point tables view the map zero-copy, so they are dropped
+        first: on the pure-Python reader live exports would make
+        mmap.close() raise BufferError, and on the native loader they
+        would dangle into unmapped memory — invalidating them makes any
+        post-close access raise instead of corrupting memory. Snapshot
+        what you need (or build a Prover, which repacks the tables)
+        before closing."""
+        for name in ("points_a", "points_b1", "points_b2", "points_c",
+                     "points_h", "ic"):
+            setattr(self, name, None)
         if self.file is not None:
             self.file.close()
             self.file = None

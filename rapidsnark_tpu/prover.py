@@ -92,7 +92,11 @@ class Prover:
 
     def __init__(self, zkey: ZKey, window_bits: Optional[int] = None,
                  window_group: int = 4, mesh=None):
-        self.zkey = zkey
+        # NOTE: the zkey is consumed here, not retained — every table is
+        # repacked into device arrays / host ints during construction, so
+        # the caller may zkey.close() as soon as this returns and the
+        # multi-GB map is reclaimed (the reference keeps its malloc'd
+        # copy alive forever, binfile_utils.cpp:28-31).
         self.n_vars = zkey.n_vars
         self.n_public = zkey.n_public
         self.domain = zkey.domain_size

@@ -74,6 +74,9 @@ class FullProver:
                 raise ValueError("zkey curve not supported")  # :35-37
             self.provers[name] = Prover(zkey, window_bits=window_bits,
                                         mesh=mesh)
+            # the Prover repacked every table; release the file map now
+            # (a long-lived service does not hold one map per circuit)
+            zkey.close()
 
         self._pending_input = ""
         self._pending_circuit = ""
@@ -190,8 +193,12 @@ class FullProver:
                 self._proof = result
             self._calc_finished()
         except Exception as e:
+            # the lock covers this write too: get_status / _calc_finished
+            # read _err_string concurrently (the reference's unlocked-read
+            # race, SURVEY.md §5.2, is not copied on either side)
             if not self._is_canceled():
-                self._err_string = str(e)
+                with self._lock:
+                    self._err_string = str(e)
             self._calc_finished()
 
     def _calc_finished(self) -> None:

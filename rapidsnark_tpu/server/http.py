@@ -53,12 +53,44 @@ class ProverAPIHandler(BaseHTTPRequestHandler):
         else:
             self._send(404)
 
-    def do_POST(self):
+    def _read_body(self) -> Optional[bytes]:
+        """Request body with the 128 MB cap enforced for BOTH framings:
+        Content-Length and Transfer-Encoding: chunked (a chunked request
+        has no Content-Length, so a length-only check would let an
+        unbounded body through — reference cap: main_proofserver.cpp:32).
+        Returns None after sending 413/400."""
+        te = (self.headers.get("Transfer-Encoding") or "").lower()
+        if "chunked" in te:
+            parts, total = [], 0
+            while True:
+                line = self.rfile.readline(32)
+                try:
+                    size = int(line.split(b";")[0].strip() or b"0", 16)
+                except ValueError:
+                    self._send(400)
+                    return None
+                if size == 0:
+                    self.rfile.readline()  # trailing CRLF of last-chunk
+                    break
+                total += size
+                if total > MAX_REQUEST_SIZE:
+                    self._send(413)
+                    self.close_connection = True
+                    return None
+                parts.append(self.rfile.read(size))
+                self.rfile.readline()  # chunk-data CRLF
+            return b"".join(parts)
         length = int(self.headers.get("Content-Length", 0) or 0)
         if length > MAX_REQUEST_SIZE:
             self._send(413)
+            return None
+        return self.rfile.read(length)
+
+    def do_POST(self):
+        raw = self._read_body()
+        if raw is None:
             return
-        body = self.rfile.read(length).decode("utf-8", "replace")
+        body = raw.decode("utf-8", "replace")
         if self.path.startswith("/input/"):
             circuit = self.path[len("/input/"):]
             if circuit not in self.full_prover.provers:

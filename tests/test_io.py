@@ -110,8 +110,44 @@ def test_zkey_close_and_context_manager():
     assert zk.file is not None
     zk.close()
     assert zk.file is None
+    # the zero-copy table views were invalidated, not left dangling
+    assert zk.points_a is None and zk.points_h is None
     zk.close()  # idempotent
 
     with read_zkey(os.path.join(FIXTURES, "sqchain64.zkey")) as zk2:
         assert zk2.n_vars > 0
     assert zk2.file is None
+
+
+def test_zkey_close_pure_python_loader(monkeypatch):
+    # the pure-Python BinFile path must close cleanly too: the mmap has
+    # live numpy exports until ZKey.close() drops the table views —
+    # without that, mmap.close() raises BufferError (advisor finding)
+    monkeypatch.setenv("RSTPU_NATIVE", "0")
+    from rapidsnark_tpu.io.binfile import BinFile
+
+    zk = read_zkey(os.path.join(FIXTURES, "sqchain64.zkey"))
+    assert isinstance(zk.file, BinFile)
+    n_vars = zk.points_a.shape[0]
+    zk.close()
+    assert zk.file is None and zk.points_a is None
+    assert n_vars == zk.n_vars
+
+
+def test_zkey_close_after_prover_is_safe(monkeypatch):
+    # the production sequence: build a Prover (repacks every table),
+    # close the map, prove — both loader paths
+    import numpy as np
+    from rapidsnark_tpu.io.wtns import read_wtns
+    from rapidsnark_tpu.prover import Prover
+    from rapidsnark_tpu.ref.groth16 import verify
+
+    monkeypatch.setenv("RSTPU_NATIVE", "0")
+    path = os.path.join(FIXTURES, "sqchain64")
+    zk = read_zkey(path + ".zkey")
+    ref_zk = zkey_to_ref(zk)
+    prover = Prover(zk, window_bits=4)
+    zk.close()
+    wit = read_wtns(path + ".wtns").values
+    proof, publics = prover.prove(np.asarray(wit), r=11, s=22)
+    assert verify(ref_zk, proof, publics)

@@ -108,6 +108,91 @@ def test_abort_when_idle_is_noop(tmp_path):
     assert fp.get_status() == {"status": "ready"}
 
 
+def test_failed_prove_error_read_during_transition(tmp_path):
+    """Concurrent get_status while a failing prove transitions: the
+    error-path _err_string write happens under the lock (advisor /
+    VERDICT weak #5) — readers never see a torn failed-without-error
+    state and nothing deadlocks."""
+    def bad_gen(circuit, input_path, wtns_path):
+        time.sleep(0.2)
+        raise RuntimeError("late explosion")
+
+    fp = FullProver([ZKEY], build_dir=str(tmp_path),
+                    window_bits=4, witness_generator=bad_gen)
+    seen, errs = [], []
+
+    def poll():
+        for _ in range(400):
+            st = fp.get_status()
+            seen.append(st["status"])
+            if st["status"] == "failed":
+                if "error" not in st or "explosion" not in st["error"]:
+                    errs.append(st)
+                return
+            time.sleep(0.01)
+
+    pollers = [threading.Thread(target=poll) for _ in range(4)]
+    for t in pollers:
+        t.start()
+    fp.start_prove("{}", "multiplier")
+    for t in pollers:
+        t.join()
+    assert not errs
+    st = fp.get_status()
+    assert st["status"] == "failed" and "explosion" in st["error"]
+
+
+def _raw_http(host, port, payload: bytes) -> bytes:
+    import socket
+
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(payload)
+        s.settimeout(10)
+        out = b""
+        while b"\r\n\r\n" not in out:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            out += chunk
+        return out
+
+
+def test_http_chunked_body_works_and_cap_enforced(tmp_path):
+    """Transfer-Encoding: chunked bodies are decoded and the 128 MB cap
+    applies to them too (reference cap: main_proofserver.cpp:32; a
+    Content-Length-only check would miss chunked framing entirely)."""
+    from rapidsnark_tpu.server.http import make_server
+
+    fp = FullProver([ZKEY], build_dir=str(tmp_path),
+                    window_bits=4, witness_generator=_fake_witness_gen())
+    server = make_server(fp, 0, host="127.0.0.1")
+    host, port = server.server_address[:2]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        body = json.dumps({"a": 3, "b": 7}).encode()
+        half = len(body) // 2
+        req = (b"POST /input/multiplier HTTP/1.1\r\n"
+               b"Host: t\r\nTransfer-Encoding: chunked\r\n\r\n"
+               + hex(half)[2:].encode() + b"\r\n" + body[:half] + b"\r\n"
+               + hex(len(body) - half)[2:].encode() + b"\r\n"
+               + body[half:] + b"\r\n0\r\n\r\n")
+        resp = _raw_http(host, port, req)
+        assert resp.startswith(b"HTTP/1.1 200")
+        st = _wait_done(fp)
+        assert st["status"] == "success"
+        assert json.loads(st["pubData"]) == ["21"]
+
+        # an over-cap chunk header is rejected before any data is read
+        big = (b"POST /input/multiplier HTTP/1.1\r\n"
+               b"Host: t\r\nTransfer-Encoding: chunked\r\n\r\n"
+               b"10000000\r\n")  # one 256 MB chunk claimed
+        resp = _raw_http(host, port, big)
+        assert resp.startswith(b"HTTP/1.1 413")
+    finally:
+        server.shutdown()
+
+
 def test_http_routes(tmp_path):
     from rapidsnark_tpu.server.http import make_server
 
