@@ -350,6 +350,12 @@ def signed_window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
+def n_windows(c: int, bits: int = SCALAR_BITS) -> int:
+    """Window passes an MSM pays at window size c over `bits`-bit
+    scalars (bench roofline accounting + combine sizing)."""
+    return -(-bits // c)
+
+
 def best_window_bits(n: int, segment: int = 0) -> int:
     """Pick c minimizing the measured cost model of this formulation
     (PERF.md): per window, sort+gather+scan ~ n lane-adds and the bucket

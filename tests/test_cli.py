@@ -54,3 +54,34 @@ def test_cli_wrong_wtns_curve(tmp_path, capsys):
                    str(tmp_path / "p.json"), str(tmp_path / "pub.json")])
     assert rc == 255
     assert "different wtns curve" in capsys.readouterr().err
+
+
+def test_export_vkey_matches_golden_model(tmp_path):
+    """tools/export_vkey.py emits the snarkjs verification_key.json
+    shape with exactly the vk/IC points the golden model parses from
+    the same zkey (the snarkjs cross-check recipe in README.md)."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "export_vkey", os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "export_vkey.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    path = os.path.join(FIXTURES, "sqchain64.zkey")
+    vk = mod.vkey_dict(path)
+    ref_zk = zkey_to_ref(read_zkey(path))
+
+    assert vk["protocol"] == "groth16" and vk["curve"] == "bn128"
+    assert vk["nPublic"] == ref_zk.n_public
+    ax, ay = ref_zk.vk_alpha1
+    assert vk["vk_alpha_1"] == [str(ax), str(ay), "1"]
+    (bx0, bx1), (by0, by1) = ref_zk.vk_beta2
+    assert vk["vk_beta_2"] == [[str(bx0), str(bx1)],
+                               [str(by0), str(by1)], ["1", "0"]]
+    assert len(vk["IC"]) == ref_zk.n_public + 1
+    for got, want in zip(vk["IC"], ref_zk.ic):
+        assert got == [str(want[0]), str(want[1]), "1"]
+    # serializable (what the file write produces)
+    json.dumps(vk)
