@@ -163,9 +163,18 @@ class ProjCurveOps(CurveOps):
     form, or None to use the G1 shortcut (b3 = 9: three doublings + add).
     """
 
-    def __init__(self, f, b3_mont=None):
+    def __init__(self, f, b3_mont=None, b3_small=None):
         super().__init__(f)
         self.b3_mont = b3_mont
+        # small-integer Fq2 constant (s0, s1) = 3b for shift-add chains
+        # (no mont_mul): used by the MSM scan on the ISO-TWIST curve
+        self.b3_small = b3_small
+        # set on curves that are a sextic-rescaling image of another
+        # curve: {"w2","w3","w2i","w3i"} Montgomery-encoded Fq2 pairs
+        self.iso = None
+        # a ProjCurveOps instance the MSM scan should substitute for
+        # this one (points rescaled onto it by prepare_*): see G2P_ISO
+        self.iso_scan = None
 
     # -- representation -------------------------------------------------------
     def inf(self, shape=()) -> Point:
@@ -184,13 +193,28 @@ class ProjCurveOps(CurveOps):
 
     def _mul_b3(self, ts):
         """[b3 * t for t in ts] — one batched op. b3 = 9 (G1) is three
-        doublings + add; otherwise one constant mul_many."""
+        doublings + add; b3_small (s0, s1) with s0=3, s1=27 (the G2
+        iso-twist) is a shift-add chain (~9 linear field ops for the
+        whole batch vs 6 base mont_muls, the round-3 G2 adder win);
+        otherwise one constant mul_many."""
         f = self.f
-        if self.b3_mont is None:  # b3 = 9: 8t + t
+        if self.b3_mont is None and self.b3_small is None:  # b3 = 9
             stacked = _tree_stack_leaves(ts)
             t8 = f.double(f.double(f.double(stacked)))
             out = f.add(t8, stacked)
             return _tree_unstack_leaves(out, len(ts))
+        if self.b3_small is not None:
+            assert self.b3_small == (3, 27), "chain below is for 3+27i"
+            base = f.f  # Fq2 -> base-field ops
+            # stack all components: t*(3+27i) = (3t0-27t1, 27t0+3t1)
+            k = len(ts)
+            s = jnp.stack([t[j] for j in (0, 1) for t in ts],
+                          axis=1)                 # (16, 2k, *batch)
+            s3 = base.add(base.double(s), s)      # 3t
+            s27 = base.add(base.double(base.double(base.double(s3))), s3)
+            re = base.sub(s3[:, :k], s27[:, k:])  # 3t0 - 27t1
+            im = base.add(s27[:, :k], s3[:, :k * 2][:, k:])  # 27t0 + 3t1
+            return [(re[:, i], im[:, i]) for i in range(k)]
         shape = _shape_of(ts[0])
         c = f.const(self.b3_mont, shape)
         return f.mul_many([(t, c) for t in ts])
@@ -295,3 +319,42 @@ G1P = ProjCurveOps(FQ)
 G2P = ProjCurveOps(
     FQ2, b3_mont=(_B3_G2[0] * (1 << 256) % _rf.P,
                   _B3_G2[1] * (1 << 256) % _rf.P))
+
+# --- G2 iso-twist for the MSM scan -----------------------------------------
+# The sextic rescaling phi(x, y) = (w2*x, w3*y) with w2 = u^2, w3 = u^3,
+# u^6 = b'/b maps the zkey twist y^2 = x^3 + 3/(9+i) onto the isomorphic
+# curve y^2 = x^3 + (1+9i), whose b3 = 3+27i multiplies by a SHIFT-ADD
+# CHAIN instead of two Fq2 const mont_muls — ~6 base-field muls saved in
+# every fused G2 scan add (~15% of the G2 MSM phase). u was computed
+# once offline (Fq2* has order p^2-1 = 144*m with gcd(6, m) = 1, so
+# u = ratio^(6^-1 mod m) * zeta for one of 144 subgroup elements zeta);
+# the generator-maps-onto-b' identity is asserted in tests/test_msm_jax.
+# prepare_g2 rescales the point tables once at build; msm() rescales the
+# per-window totals BACK (w2i/w3i), so everything outside ops/msm sees
+# only the original twist. phi fixes (0,0), so the affine-infinity
+# encoding survives.
+_U_ISO = (10260616272614354744484718587529940670282782517928141346158505320275271402618,
+          11627626599224920477761687157727334418413528639369682316530532574369954805965)
+
+
+def _f2mul(a, b):
+    p = _rf.P
+    return ((a[0] * b[0] - a[1] * b[1]) % p, (a[0] * b[1] + a[1] * b[0]) % p)
+
+
+def _f2inv(a):
+    p = _rf.P
+    d = pow((a[0] * a[0] + a[1] * a[1]) % p, -1, p)
+    return (a[0] * d % p, (p - a[1]) * d % p)
+
+
+def _mont2(a):
+    return (a[0] * (1 << 256) % _rf.P, a[1] * (1 << 256) % _rf.P)
+
+
+_W2 = _f2mul(_U_ISO, _U_ISO)
+_W3 = _f2mul(_W2, _U_ISO)
+G2P_ISO = ProjCurveOps(FQ2, b3_small=(3, 27))
+G2P_ISO.iso = {"w2": _mont2(_W2), "w3": _mont2(_W3),
+               "w2i": _mont2(_f2inv(_W2)), "w3i": _mont2(_f2inv(_W3))}
+G2P.iso_scan = G2P_ISO

@@ -15,11 +15,10 @@ For each c-bit window:
      Jacobian adder (ops/curve.py) as combiner: a lax.scan over chunk
      columns (C-step sequential, n/C lanes wide) plus a roll-based
      Hillis-Steele pass over chunk totals — 2 adder instantiations total,
-  4. bucket sums        — B_j = PS(cum_j) - PS(cum_{j-1}) where cum_j
-     counts digits <= j (prefix-difference trick: group subtraction is
-     one add of a negated point, so buckets never need a scatter),
-  5. window total       — sum_j j*B_j = sum_j S_j with S_j = sum_{k>=j} B_k:
-     two more Hillis-Steele prefix passes (suffix sums, then their sum).
+  4. window total       — with A_j = PS(cum_j) (cum_j counts digits
+     <= j), sum_j j*B_j TELESCOPES to M*A_M - sum_{j<M} A_j: one
+     boundary gather-add per bucket, one tree sum, c-1 doublings —
+     bucket sums are never materialized and no scatter ever happens.
 
 Windows are *batched on a vector axis* (leaves (16, G, n)) and processed
 in groups of G via lax.scan, so the sequential chunk scan is paid once
@@ -357,24 +356,24 @@ def n_windows(c: int, bits: int = SCALAR_BITS) -> int:
 
 
 def best_window_bits(n: int, segment: int = 0) -> int:
-    """Pick c minimizing the measured cost model of this formulation
-    (PERF.md): per window, sort+gather+scan ~ n lane-adds and the bucket
-    phase ~ 18 * 2^(c-1) point-equivalents (fitted on v5e at 2^18;
-    signed digits: bucket range is 2^(c-1)). With segmentation, each of
-    the n/segment slices pays a ~8 * 2^(c-1) bucket extraction and the
-    weighted pass is paid once.
+    """Pick c minimizing the cost model of this formulation (PERF.md):
+    per window, sort+gather+scan ~ n lane-adds and the TELESCOPED
+    extraction ~ 4 * 2^(c-1) point-equivalents per segment (boundary
+    gather-adds + tree sum; fitted on v5e — see PERF.md round-3 sweep).
 
-    Unsegmented large MSMs use the directly measured v5e optimum: c=13
-    beat c=12 by 5%/10% and c=14 by 12%/4% at 2^18/2^20 (round-2 sweep,
-    2-level extraction scans) — the model's extraction term is too
-    coarse to resolve the 13-vs-12 margin."""
-    if not segment and n >= (1 << 17):
-        return 13
+    Directly measured v5e optima override the model where available:
+    with telescoped extraction the optimum moved from the round-2 c=13
+    plateau to c=14 at 2^18 and c=16 at 2^20+ (round-3 sweep)."""
+    if not segment:
+        if n >= (1 << 19):
+            return 16
+        if n >= (1 << 17):
+            return 14
     nseg = max(n // segment, 1) if segment else 1
     best, best_cost = 1, None
     for c in range(1, 17):
         nwin = -(-SCALAR_BITS // c)
-        bucket = (10 + 8 * nseg) * (1 << (c - 1))
+        bucket = 4 * nseg * (1 << (c - 1))
         cost = nwin * (n + bucket)
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
@@ -385,22 +384,45 @@ def best_window_bits(n: int, segment: int = 0) -> int:
 # MSM core
 # ---------------------------------------------------------------------------
 
+def _tree_total(curve: CurveOps, pt, size: int):
+    """Group sum along the last axis. One lax.scan column fold (a single
+    adder instantiation) brings the width down to <= 512 lanes, then a
+    2-level prefix pass finishes — total work ~ size adds, vs the
+    ~size*log(size) of a pure Hillis reduction."""
+    W = 512
+    if size > W and size % W == 0:
+        nch = size // W
+        batch = _shape_of(pt[0])[:-1]
+        cols = _pt_map(pt, lambda a: jnp.moveaxis(
+            a.reshape(a.shape[:-1] + (nch, W)), -2, 0))
+        pt, _ = jax.lax.scan(
+            lambda acc, col: (_add(curve, acc, col), None),
+            curve.inf(batch + (W,)), cols)
+        size = W
+    res = _prefix_2level(curve, pt, size)
+    return _pt_map(res, lambda a: a[..., -1])
+
+
 def _window_group(curve: CurveOps, pts, digits, n: int, c: int):
-    """Window totals for a group of windows. digits: (G, *batch, n)
-    ENCODED signed digits (signed_window_digits), pts: PACKED affine
-    pytree, leaves (8, *batch, n). Returns a Jacobian point with batch
-    (G, *batch)."""
-    buckets = _group_buckets(curve, pts, digits, n, c)
-    return _weighted_total(curve, buckets, c)
+    """Window totals sum_j j*B_j for a group of windows, TELESCOPED.
 
+    digits: (G, *batch, n) ENCODED signed digits (signed_window_digits),
+    pts: PACKED affine pytree, leaves (8, *batch, n). Returns a Jacobian
+    point with batch (G, *batch).
 
-def _group_buckets(curve: CurveOps, pts, digits, n: int, c: int):
-    """Per-bucket sums B_j (j = |digit|) for a group of windows:
-    sort -> packed gather -> signed prefix scan -> boundary differences.
-    Returns a Jacobian point with batch (G, *batch, 2^(c-1)+1); B_0 is
-    garbage (discarded by _weighted_total)."""
+    With A_j = PS(cum_j) (the prefix group sum at the bucket-j boundary,
+    so B_j = A_j - A_{j-1}), the weighted total telescopes:
+
+        sum_{j=1}^{M} j*B_j  =  M*A_M - sum_{j=0}^{M-1} A_j,   M = 2^(c-1)
+
+    so the window needs ONE boundary gather-add per bucket (M+1 lanes),
+    one ~M-add tree sum, and c-1 doublings of a single lane — about
+    2*M adds, instead of materializing all M bucket sums and running two
+    M-lane Hillis-Steele passes (~6*M+ adds plus a second 2(M+1)-lane
+    boundary gather). The cheaper extraction moves the optimal window
+    size up at 2^20+ (best_window_bits)."""
     bshape = digits.shape[:-1]       # (G, *batch)
-    nbuckets = (1 << (c - 1)) + 1    # |d| in [0, 2^(c-1)]
+    M = 1 << (c - 1)                 # |d| in [0, M]
     # ONE sort pass yields both the sorted digits and the permutation
     # (4x cheaper than argsort + take_along_axis re-gather of digits);
     # sorting the encoding |d|*2+neg orders by magnitude with the sign
@@ -415,31 +437,18 @@ def _group_buckets(curve: CurveOps, pts, digits, n: int, c: int):
     within, excl = _chunked_prefix(curve, spts, sign, bshape, n)
 
     # bucket boundary of |d| <= j in the encoded order: key 2j+1
-    queries = 2 * jnp.arange(nbuckets, dtype=jnp.int32) + 1
+    queries = 2 * jnp.arange(M + 1, dtype=jnp.int32) + 1
     cum = jax.vmap(
         lambda d: jnp.searchsorted(d, queries, side="right"))(
-            sorted_digits.reshape(-1, n)).reshape(bshape + (nbuckets,))
+            sorted_digits.reshape(-1, n)).reshape(bshape + (M + 1,))
     cum = cum.astype(jnp.int32)
-    # boundary PS gathers for hi|lo in ONE adder instantiation (2M lanes)
-    lo_idx = jnp.concatenate(
-        [jnp.zeros(bshape + (1,), jnp.int32), cum[..., :-1]], axis=-1)
-    ps = _ps_at(curve, within, excl,
-                jnp.concatenate([cum, lo_idx], axis=-1))
-    hi = _pt_map(ps, lambda a: a[..., :nbuckets])
-    lo = _pt_map(ps, lambda a: a[..., nbuckets:])
-    return _add(curve, hi, curve.neg(lo))  # batch (G, *batch, nbuckets)
-
-
-def _weighted_total(curve: CurveOps, buckets, c: int):
-    """sum_j j*B_j over bucket sums (leaves (16, ..., 2^(c-1)+1); B_0
-    ignored) = sum_{j>=1} S_j with S_j = sum_{k>=j} B_k: two identical
-    prefix passes (suffix sums, then their running total) — shared
-    instantiation through an outer fori_loop."""
-    nbuckets = (1 << (c - 1)) + 1
-    brev = _pt_map(buckets, lambda a: a[..., 1:][..., ::-1])
-    total = jax.lax.fori_loop(
-        0, 2, lambda _, x: _prefix_2level(curve, x, nbuckets - 1), brev)
-    return _pt_map(total, lambda a: a[..., -1])
+    A = _ps_at(curve, within, excl, cum)            # (…, M+1)
+    asum = _tree_total(
+        curve, _pt_map(A, lambda a: a[..., :M]), M)  # sum_{j<M} A_j
+    top = _pt_map(A, lambda a: a[..., M])
+    mtop = jax.lax.fori_loop(                        # M * A_M
+        0, c - 1, lambda _, x: _add(curve, x, x), top)
+    return _add(curve, mtop, curve.neg(asum))
 
 
 def _combine_windows(curve: CurveOps, wpts, nwin: int, c: int):
@@ -499,6 +508,12 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     G_ = min(window_group, nwin)
     while nwin % G_:
         G_ -= 1
+    # G2 runs the scan on the cheap-b3 iso-twist (ops/curve.py G2P_ISO;
+    # prepare_g2 / the prover rescale the tables once); window totals
+    # are rescaled BACK below, so combines and callers stay on the
+    # original curve
+    iso = getattr(curve, "iso_scan", None)
+    sc = iso or curve
     # digits are (re)computed per window group inside the scan — one u32
     # carry bitmask per scalar instead of W int32 digit rows (a 2^24-
     # scale MSM cannot hold the full digit tensor next to the tables)
@@ -512,8 +527,7 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
 
         def step(_, ig):
             dg = group_signed_digits(s9, carries, ig * G_, G_, c)
-            nb = (1 << (c - 1)) + 1
-            acc0 = curve.inf((G_,) + bshape + (nb,))
+            acc0 = sc.inf((G_,) + bshape)
 
             def seg_step(acc, i):
                 off = i * segment
@@ -521,21 +535,32 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
                     a, off, segment, axis=a.ndim - 1))
                 dseg = jax.lax.dynamic_slice_in_dim(
                     dg, off, segment, axis=dg.ndim - 1)
-                b = _group_buckets(curve, pseg, dseg, segment, c)
-                return _add(curve, acc, b), None
+                # window totals are linear in the bucket sums, so each
+                # slice contributes ONE point per window (telescoped
+                # extraction per slice) — no (G, *batch, 2^(c-1)+1)
+                # bucket accumulator across slices
+                t = _window_group(sc, pseg, dseg, segment, c)
+                return _add(sc, acc, t), None
 
             acc, _ = jax.lax.scan(seg_step, acc0,
                                   jnp.arange(S, dtype=jnp.int32))
-            return None, _weighted_total(curve, acc, c)
+            return None, acc
     else:
         def step(_, ig):
             dg = group_signed_digits(s9, carries, ig * G_, G_, c)
-            return None, _window_group(curve, pts, dg, n, c)
+            return None, _window_group(sc, pts, dg, n, c)
 
     _, wg = jax.lax.scan(step, None,
                          jnp.arange(nwin // G_, dtype=jnp.int32))
     wpts = _pt_map(
         wg, lambda a: jnp.moveaxis(a, 0, 1).reshape((16, nwin) + bshape))
+    if iso is not None:
+        x, y, z = wpts
+        sh = _shape_of(x)
+        w2i = curve.f.const(iso.iso["w2i"], sh)
+        w3i = curve.f.const(iso.iso["w3i"], sh)
+        x, y = curve.f.mul_many([(x, w2i), (y, w3i)])
+        wpts = (x, y, z)
     if not combine:
         return wpts
     return _combine_windows(curve, wpts, nwin, c)
@@ -565,8 +590,50 @@ def prepare_g1(points_nk16) -> Tuple:
     return (x, y)
 
 
+def _g2_rescale_chunk(c4):
+    """(4, 16, CH) unpacked coords -> (4, 8, CH) packed, rescaled onto
+    the iso-twist (x*w2, y*w3): see ops/curve.py G2P_ISO."""
+    from .curve import FQ2, G2P_ISO
+    x = (c4[0], c4[1])
+    y = (c4[2], c4[3])
+    sh = c4.shape[2:]
+    w2 = FQ2.const(G2P_ISO.iso["w2"], sh)
+    w3 = FQ2.const(G2P_ISO.iso["w3"], sh)
+    xr, yr = FQ2.mul_many([(x, w2), (y, w3)])
+    return jnp.stack([pack_limb_rows(xr[0]), pack_limb_rows(xr[1]),
+                      pack_limb_rows(yr[0]), pack_limb_rows(yr[1])])
+
+
+@jax.jit
+def g2_rescale_packed(pts):
+    """Rescale a PACKED G2 table pytree ((x0,x1),(y0,y1)), leaves
+    (8, *batch, n), onto the iso-twist G2P_ISO — a one-time pass at
+    table build (chunked so 2^24-scale tables never materialize
+    unpacked). (0,0) infinity is fixed by the map."""
+    import numpy as np
+    leaves = [pts[0][0], pts[0][1], pts[1][0], pts[1][1]]
+    orig = leaves[0].shape
+    n = int(np.prod(orig[1:]))
+    CH = min(1 << 15, n)
+    npad = -(-n // CH) * CH
+    flat = []
+    for a in leaves:
+        a = a.reshape(8, n)
+        if npad != n:
+            a = jnp.concatenate(
+                [a, jnp.zeros((8, npad - n), jnp.uint32)], axis=1)
+        flat.append(unpack_limb_rows(a))
+    cols = jnp.stack(flat).reshape(4, 16, npad // CH, CH)
+    out = jax.lax.map(_g2_rescale_chunk,
+                      jnp.moveaxis(cols, 2, 0))   # (nch, 4, 8, CH)
+    out = jnp.moveaxis(out, 0, 2).reshape(4, 8, npad)[:, :, :n]
+    rs = [out[k].reshape(orig) for k in range(4)]
+    return ((rs[0], rs[1]), (rs[2], rs[3]))
+
+
 def prepare_g2(points_nk16) -> Tuple:
-    """(n, 4, 16) limbs (x.c0 x.c1 y.c0 y.c1) -> padded PACKED pytree."""
+    """(n, 4, 16) limbs (x.c0 x.c1 y.c0 y.c1) -> padded PACKED pytree,
+    rescaled onto the iso-twist (the msm() scan contract for G2P)."""
     import numpy as np
     pts = np.asarray(points_nk16)
     n, npad = pts.shape[0], pad_len(pts.shape[0])
@@ -575,7 +642,8 @@ def prepare_g2(points_nk16) -> Tuple:
             [pts, np.zeros((npad - n, 4, 16), np.uint32)], axis=0)
     coords = [jnp.asarray(pack_limb_rows(np.moveaxis(pts[:, k], -1, 0)))
               for k in range(4)]
-    return ((coords[0], coords[1]), (coords[2], coords[3]))
+    return g2_rescale_packed(((coords[0], coords[1]),
+                              (coords[2], coords[3])))
 
 
 def pad_scalars(scalars_n16, npad: int) -> jnp.ndarray:

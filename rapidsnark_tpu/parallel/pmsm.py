@@ -46,7 +46,8 @@ def pad_len_sharded(n: int, n_devices: int) -> int:
 
 
 def msm_sharded(curve: CurveOps, pts, scalars, c: int, mesh,
-                window_group: int = 4, combine: bool = True):
+                window_group: int = 4, combine: bool = True,
+                segment: int = 0):
     """MSM with points/scalars sharded on n across mesh axis "shard".
 
     pts: AFFINE pytree, leaves (16, *batch, n); scalars (*batch, n, 16);
@@ -68,8 +69,11 @@ def msm_sharded(curve: CurveOps, pts, scalars, c: int, mesh,
     nd = mesh.shape[AXIS]
 
     def body(local_pts, local_sc):
+        # `segment` slices each device's LOCAL bucket accumulation
+        # (bounds the prefix-scan working set exactly as on one chip —
+        # a 2^24 MSM over 8 devices still holds 2^21 local points)
         part = MSM.msm(curve, local_pts, local_sc, c, window_group,
-                       combine=False)  # leaves (16, W, *batch)
+                       combine=False, segment=segment)  # (16, W, *batch)
         # gather device partials on a new last axis and group-reduce
         gath = _pt_map(part,
                        lambda a: jnp.moveaxis(

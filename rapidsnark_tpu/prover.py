@@ -77,9 +77,11 @@ def _msm_stage(pts_g1, pts_g2, h_row, wit_row, c_row, *, c_bits: int,
     else:
         from .parallel import pmsm
         g1w = pmsm.msm_sharded(G1P, pts_g1, g1_sc, c_bits, mesh,
-                               window_group, combine=False)
+                               window_group, combine=False,
+                               segment=segment)
         g2w = pmsm.msm_sharded(G2P, pts_g2, wit_row[None], c_bits, mesh,
-                               window_group, combine=False)
+                               window_group, combine=False,
+                               segment=segment)
     return g1w, g2w
 
 
@@ -143,7 +145,11 @@ class Prover:
         b2 = _pad_points(zkey.points_b2, self.nmax)[None]  # (1, nmax, 4, 8)
         cs = [jnp.asarray(np.moveaxis(b2[:, :, k, :], -1, 0))
               for k in range(4)]
-        self.pts_g2 = ((cs[0], cs[1]), (cs[2], cs[3]))
+        # one-time rescale onto the cheap-b3 iso-twist (ops/curve.py
+        # G2P_ISO): the G2 MSM scan runs there, msm() maps window
+        # totals back, so everything downstream stays on the zkey twist
+        self.pts_g2 = MSM.g2_rescale_packed(((cs[0], cs[1]),
+                                             (cs[2], cs[3])))
 
         if mesh is not None:
             from .parallel import multihost, pmsm

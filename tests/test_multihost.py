@@ -3,11 +3,11 @@ devices == the byte-level golden model (SURVEY.md §4: multi-node
 behavior tested via jax.distributed with local processes; BASELINE
 config 5).
 
-Gated behind RSTPU_MULTIHOST=1: the job spawns two fresh processes that
-each pay a cold-cache pipeline compile, which would dominate the default
-suite budget. Run explicitly:
-
-    RSTPU_MULTIHOST=1 python -m pytest tests/test_multihost.py -v
+Runs in the DEFAULT suite (VERDICT r2 #5: multihost evidence must not
+be opt-in): the two worker processes inherit RSTPU_CACHE, and
+tools/build_cache_seed.py runs this test while building the committed
+seed, so their pipeline compiles are cache hits on a fresh clone. Set
+RSTPU_MULTIHOST=0 to opt out (e.g. single-run kernel experiments).
 """
 
 import json
@@ -29,9 +29,8 @@ def _free_port() -> int:
         return sk.getsockname()[1]
 
 
-@pytest.mark.skipif(not os.environ.get("RSTPU_MULTIHOST"),
-                    reason="set RSTPU_MULTIHOST=1 (spawns 2 processes; "
-                           "cold compile is minutes)")
+@pytest.mark.skipif(os.environ.get("RSTPU_MULTIHOST") == "0",
+                    reason="RSTPU_MULTIHOST=0 opts out")
 def test_two_process_prove_bit_identical(tmp_path):
     root = os.path.join(os.path.dirname(__file__), "..")
     worker = os.path.join(root, "tools", "dist_prove_worker.py")
