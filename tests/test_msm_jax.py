@@ -127,3 +127,73 @@ def test_signed_window_digits_reconstruct():
                 assert mag <= half
                 tot += (-mag if neg else mag) << (w * c)
             assert tot == k, f"c={c}"
+
+
+def test_g2_iso_twist_constants():
+    """The sextic rescaling behind G2P_ISO (ops/curve.py): u^6 = b'/b
+    with b' = 1+9i, the generator lands on y^2 = x^3 + (1+9i), and the
+    forward/backward constants are exact inverses."""
+    from rapidsnark_tpu.ops.curve import G2P_ISO, _W2, _W3, _f2mul, _f2inv
+    from rapidsnark_tpu.ref.field import P, FQ2_B
+
+    def f2pow(a, e):
+        r = (1, 0)
+        while e:
+            if e & 1:
+                r = _f2mul(r, a)
+            a = _f2mul(a, a)
+            e >>= 1
+        return r
+
+    # w2^3 == w3^2 == u^6 == (1+9i)/b_twist
+    ratio = _f2mul((1, 9), _f2inv(FQ2_B))
+    assert f2pow(_W2, 3) == ratio == f2pow(_W3, 2)
+    # generator maps onto the iso curve
+    x, y = refc.G2_GEN
+    xp, yp = _f2mul(_W2, x), _f2mul(_W3, y)
+    lhs = _f2mul(yp, yp)
+    rhs = _f2mul(_f2mul(xp, xp), xp)
+    assert lhs == ((rhs[0] + 1) % P, (rhs[1] + 9) % P)
+    assert G2P_ISO.b3_small == (3, 27)
+    # Montgomery-encoded round trips
+    R = 1 << 256
+    for k, plain in (("w2", _W2), ("w3", _W3)):
+        enc = G2P_ISO.iso[k]
+        assert enc == (plain[0] * R % P, plain[1] * R % P)
+        inv = G2P_ISO.iso[k + "i"]
+        dec = (inv[0] * pow(R, -1, P) % P, inv[1] * pow(R, -1, P) % P)
+        assert _f2mul(dec, plain) == (1, 0)
+
+
+def test_g2_rescale_packed_matches_host():
+    """g2_rescale_packed == host-int rescale on a mixed batch including
+    the (0,0) infinity encoding (fixed by the map)."""
+    import numpy as np
+    from rapidsnark_tpu.ops.curve import _W2, _W3, _f2mul
+    from rapidsnark_tpu.ref.field import P, FQ_CTX
+
+    rng = random.Random(5)
+    pts, exp = [], []
+    base = refc.G2_GEN
+    for i in range(7):
+        if i == 3:
+            aff = ((0, 0), (0, 0))  # infinity encoding
+        else:
+            aff = refc.G2.mul(base, rng.randrange(1, R_FR))
+        pts.append(PT.g2_affine_to_mont_limbs(aff))
+        exp.append((_f2mul(_W2, aff[0]), _f2mul(_W3, aff[1])))
+    arr = np.stack(pts)
+    out = M.prepare_g2(arr)  # rescales onto the iso twist
+    # unpack device words back to ints
+    def words_to_int(w):
+        v = 0
+        for j, word in enumerate(np.asarray(w, dtype=np.uint64)):
+            v |= int(word) << (32 * j)
+        return FQ_CTX.from_mont(v)
+    for i in range(7):
+        got_x = (words_to_int(out[0][0][:, i]), words_to_int(out[0][1][:, i]))
+        got_y = (words_to_int(out[1][0][:, i]), words_to_int(out[1][1][:, i]))
+        if i == 3:
+            assert got_x == (0, 0) and got_y == (0, 0)
+        else:
+            assert (got_x, got_y) == exp[i]
