@@ -385,21 +385,25 @@ def best_window_bits(n: int, segment: int = 0) -> int:
 # ---------------------------------------------------------------------------
 
 def _tree_total(curve: CurveOps, pt, size: int):
-    """Group sum along the last axis. One lax.scan column fold (a single
-    adder instantiation) brings the width down to <= 512 lanes, then a
-    2-level prefix pass finishes — total work ~ size adds, vs the
-    ~size*log(size) of a pure Hillis reduction."""
-    W = 512
-    if size > W and size % W == 0:
-        nch = size // W
-        batch = _shape_of(pt[0])[:-1]
-        cols = _pt_map(pt, lambda a: jnp.moveaxis(
-            a.reshape(a.shape[:-1] + (nch, W)), -2, 0))
-        pt, _ = jax.lax.scan(
-            lambda acc, col: (_add(curve, acc, col), None),
-            curve.inf(batch + (W,)), cols)
-        size = W
-    res = _prefix_2level(curve, pt, size)
+    """Group sum along the last axis: pairwise halving tree.
+
+    log2(size) WIDE adds (the first over size/2 lanes) instead of a
+    deep narrow scan — on v5e the sequential-step latency of narrow
+    adds dominated extraction (PERF.md round-3), so the tree trades a
+    few extra adder instantiations (one per halving, shapes differ)
+    for ~2x fewer, much wider steps. Sizes <= 64 (the CPU test range)
+    keep the single-instantiation Hillis form: XLA:CPU pays ~seconds
+    per extra adder instantiation."""
+    if size <= 64 or (size & (size - 1)):
+        res = _hillis_prefix(curve, pt, size)
+        return _pt_map(res, lambda a: a[..., -1])
+    while size > 64:
+        half = size // 2
+        lo = _pt_map(pt, lambda a: a[..., :half])
+        hi = _pt_map(pt, lambda a: a[..., half:])
+        pt = _add(curve, lo, hi)
+        size = half
+    res = _hillis_prefix(curve, pt, size)
     return _pt_map(res, lambda a: a[..., -1])
 
 
@@ -443,12 +447,15 @@ def _window_group(curve: CurveOps, pts, digits, n: int, c: int):
             sorted_digits.reshape(-1, n)).reshape(bshape + (M + 1,))
     cum = cum.astype(jnp.int32)
     A = _ps_at(curve, within, excl, cum)            # (…, M+1)
-    asum = _tree_total(
-        curve, _pt_map(A, lambda a: a[..., :M]), M)  # sum_{j<M} A_j
-    top = _pt_map(A, lambda a: a[..., M])
-    mtop = jax.lax.fori_loop(                        # M * A_M
-        0, c - 1, lambda _, x: _add(curve, x, x), top)
-    return _add(curve, mtop, curve.neg(asum))
+    # M*A_M - sum_{j<M} A_j == sum_{j<M} (A_M - A_j): ONE wide add
+    # feeding the halving tree, instead of a c-1-step doubling chain on
+    # (G, *batch) lanes (narrow sequential adds are latency-bound on
+    # v5e, PERF.md round-3)
+    top = _pt_map(A, lambda a: jnp.broadcast_to(
+        a[..., M:], a.shape[:-1] + (M,)))
+    head = _pt_map(A, lambda a: a[..., :M])
+    diff = _add(curve, top, curve.neg(head))
+    return _tree_total(curve, diff, M)
 
 
 def _combine_windows(curve: CurveOps, wpts, nwin: int, c: int):
@@ -478,7 +485,7 @@ def _combine_windows(curve: CurveOps, wpts, nwin: int, c: int):
 
 
 def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
-        window_group: int = 4, combine: bool = True, segment: int = 0):
+        window_group: int = 5, combine: bool = True, segment: int = 0):
     """Multi-scalar multiplication, batched over leading axes.
 
     pts: PACKED affine point pytree, leaves (8, *batch, n) — two 16-bit
@@ -659,10 +666,10 @@ def pad_scalars(scalars_n16, npad: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def msm_g1(pts, scalars, c: int, window_group: int = 4):
+def msm_g1(pts, scalars, c: int, window_group: int = 5):
     return msm(G1P, pts, scalars, c, window_group)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def msm_g2(pts, scalars, c: int, window_group: int = 4):
+def msm_g2(pts, scalars, c: int, window_group: int = 5):
     return msm(G2P, pts, scalars, c, window_group)

@@ -93,7 +93,7 @@ class Prover:
     """
 
     def __init__(self, zkey: ZKey, window_bits: Optional[int] = None,
-                 window_group: int = 4, mesh=None):
+                 window_group: int = 5, mesh=None):
         # NOTE: the zkey is consumed here, not retained — every table is
         # repacked into device arrays / host ints during construction, so
         # the caller may zkey.close() as soon as this returns and the
