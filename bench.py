@@ -1,12 +1,12 @@
 """Benchmark harness: the BASELINE.md ladder as machine-readable JSON.
 
 Emits ONE JSON line per metric. Order is driver-proof (BENCH_r02's
-rc=124 lesson): the END-TO-END PROVE LADDER runs FIRST and LARGEST
-fixture first, so the headline number lands even if an external time
-budget kills the run mid-way; kernel metrics (MSM points/s, NTT
-butterflies/s) follow only if the self-imposed wall-clock budget has
-room. The final line repeats the headline (largest successful prove) —
-the driver parses the last line.
+rc=124 lesson): the END-TO-END PROVE LADDER runs FIRST — one quick
+size so a prove line lands within ~2 minutes no matter what, then
+LARGEST fixture first so the headline (2^24) lands next; kernel
+metrics (MSM points/s, NTT butterflies/s) follow only if the
+self-imposed wall-clock budget has room. The final line repeats the
+headline (largest successful prove) — the driver parses the last line.
 
 vs_baseline is measured against DOCUMENTED STAND-INS (the reference
 publishes no numbers — BASELINE.md "Stand-in derivation" section pins
@@ -18,7 +18,7 @@ rate as a percentage of the v5e VPU elementwise ceiling for this
 formulation's arithmetic (derivation in _roofline_pts_per_sec below and
 PERF.md "measured machine limits").
 
-Env knobs: RSTPU_BENCH_BUDGET_S (wall budget, default 1200),
+Env knobs: RSTPU_BENCH_BUDGET_S (wall budget, default 2800),
 RSTPU_BENCH_LOGN (kernel MSM/NTT size, default 18), RSTPU_BENCH_REPS
 (default 2), RSTPU_BENCH_WINDOW (Pippenger c, default auto),
 RSTPU_BENCH_PROVE=0 (skip proves), RSTPU_BENCH_MAX_LOGN (skip fixtures
@@ -39,7 +39,7 @@ from rapidsnark_tpu.utils import cache  # noqa: E402
 cache.enable()
 
 _T0 = time.monotonic()
-BUDGET_S = float(os.environ.get("RSTPU_BENCH_BUDGET_S", "1200"))
+BUDGET_S = float(os.environ.get("RSTPU_BENCH_BUDGET_S", "2800"))
 
 BASELINE_G1_MSM_PTS_PER_SEC = 1.0e7   # 64-core rapidsnark-class stand-in
 BASELINE_PROVE_S_2_16 = 0.4           # same box, 2^16 prove, linear scale
@@ -207,12 +207,12 @@ def bench_prove(path: str):
     return time.perf_counter() - t0, dict(prover.last_phases)
 
 
-# rough first-visit cost (compile + table upload + 2 proves) per
-# fixture size, used only to decide whether the remaining budget can
-# still fit the NEXT (smaller) size after a big one; generous on
-# purpose — an overrun on the current size is already sunk.
+# first-visit cost (compile + table upload via the ~40 MB/s tunnel + 2
+# proves) per fixture size; calibrated round 3 on v5e: 2^22 measured
+# 632 s, 2^16 ~60 s. Used to decide whether the remaining budget can
+# still fit the NEXT size; an overrun on the current size is sunk.
 def _prove_cost_estimate_s(log_n: int) -> float:
-    return 90.0 + 0.04 * (1 << max(0, log_n - 10))
+    return 60.0 + 1.4e-4 * (1 << log_n)
 
 
 def main():
@@ -225,9 +225,9 @@ def main():
     import jax
     plat = jax.devices()[0].platform
 
-    head = None
+    head, head_ln = None, -1
 
-    # --- end-to-end prove ladder: FIRST, LARGEST first --------------------
+    # --- end-to-end prove ladder: quick size, then LARGEST first ----------
     if os.environ.get("RSTPU_BENCH_PROVE", "1") != "0":
         fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_fixtures")
@@ -239,13 +239,25 @@ def main():
                 n = int(m.group(1))
                 if n.bit_length() - 1 <= max_logn:
                     sizes.append(n.bit_length() - 1)
-        for i, ln in enumerate(sorted(sizes, reverse=True)):
+        # order (BENCH_r02's rc=124 lesson, refined): ONE quick size
+        # first so the driver always sees a prove line within ~2 min,
+        # then the rest LARGEST-first so the headline lands next; all
+        # but the first size are budget-gated.
+        order = sorted(sizes, reverse=True)
+        if len(order) > 1:
+            order = [order[-1]] + order[:-1]
+        for i, ln in enumerate(order):
             if i > 0 and _remaining() < _prove_cost_estimate_s(ln):
                 _emit(f"groth16_prove_SKIPPED_2^{ln}", None, "s", None,
                       reason=f"budget: {_remaining():.0f}s left")
                 continue
             path = os.path.join(fixdir, f"sqchain{1 << ln}")
-            prove_s, phases = bench_prove(path)
+            try:
+                prove_s, phases = bench_prove(path)
+            except Exception as e:  # OOM etc: keep the rest of the run
+                _emit(f"groth16_prove_FAILED_2^{ln}", None, "s", None,
+                      error=str(e)[:300])
+                continue
             baseline_s = BASELINE_PROVE_S_2_16 * (1 << ln) / (1 << 16)
             line = _emit(
                 f"groth16_prove_latency_2^{ln}", round(prove_s, 3), "s",
@@ -253,8 +265,8 @@ def main():
                 prove_latency_s=round(prove_s, 3),
                 phases={k: round(v, 3) for k, v in phases.items()},
                 baseline="stand-in-estimate")
-            if head is None:
-                head = line  # largest size that actually ran
+            if head is None or ln > head_ln:
+                head, head_ln = line, ln  # largest size that ran
 
     # --- MSM / NTT kernel metrics (budget-gated) ---------------------------
     if os.environ.get("RSTPU_BENCH_KERNELS", "1") != "0":

@@ -50,4 +50,6 @@ def msm_segment(n: int) -> int:
     v = _int_env("RSTPU_MSM_SEGMENT")
     if v is not None:
         return v
+    if n >= (1 << 24):
+        return 1 << 19   # 2^24 tables leave <2 GB for the scan set
     return (1 << 20) if n > (1 << 21) else 0

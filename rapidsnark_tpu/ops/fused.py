@@ -275,3 +275,80 @@ def ntt_butterfly(lo, hi, tw, dif: bool):
         interpret=jax.default_backend() == "cpu",
     )(prep(lo), prep(hi), prep(tw))
     return (out[0][:, :n].reshape(shape), out[1][:, :n].reshape(shape))
+
+
+def ntt_tail(x, tws_by_half, dif: bool):
+    """ALL butterfly stages with half < 128 fused into ONE kernel.
+
+    For half < 128 every XOR-partner lives inside one 128-lane tile, so
+    the whole tail runs in VMEM with lane-local rolls — none of the
+    (…, nblk, 2, half) stage reshapes whose 16-lane trailing axes get
+    8x TPU layout padding (the 2^24 front OOM: an 8 GB HLO temp for a
+    1 GB poly), and no HBM round trips between the 7 stages. Per stage
+    the twiddle product runs on ALL lanes (2x the mul work of the
+    split form; these stages are <1/3 of the transform):
+
+      DIF: out[j] = bit(j,h) ? tw * (x[j-h] - x[j]) : x[j] + x[j+h]
+      DIT: m = tw * x;  out[j] = bit(j,h) ? x[j-h] - m[j] : x[j] + m[j+h]
+
+    x: (16, *batch, n) u32; tws_by_half: {half: (16, half)} UNPACKED
+    twiddle rows. Stage order: descending halves for DIF, ascending
+    for DIT. Falls back to plain XLA ops off-TPU.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .field import FR
+
+    halves = sorted(tws_by_half, reverse=dif)
+    n = x.shape[-1]
+    shape = x.shape
+    blk = min(int(os.environ.get("RSTPU_NTT_BLOCK", 2048)), n)
+
+    def fb(xx, tw_of):
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (xx.shape[-1],), 0)
+        out = xx
+        for h in halves:
+            tw = tw_of(h, xx.shape[-1])
+            bit = ((lane & h) != 0)[(None,) * (out.ndim - 1)]
+            if dif:
+                val = jnp.where(
+                    bit,
+                    FR.mul(tw, FR.sub(jnp.roll(out, h, axis=-1), out)),
+                    FR.add(out, jnp.roll(out, -h, axis=-1)))
+            else:
+                m = FR.mul(tw, out)
+                val = jnp.where(
+                    bit,
+                    FR.sub(jnp.roll(out, h, axis=-1), m),
+                    FR.add(out, jnp.roll(m, -h, axis=-1)))
+            out = val
+        return out
+
+    if not enabled() or n % blk or int(np.prod(shape[1:])) < 2 * blk:
+        def tw_direct(h, width):
+            t = jnp.tile(tws_by_half[h], (1, width // h))
+            return t.reshape((16,) + (1,) * (x.ndim - 2) + (width,))
+        return fb(x, tw_direct)
+
+    flat = x.reshape(16, -1)  # blocks never straddle batch: blk | n
+    tiles = [jnp.tile(tws_by_half[h], (1, blk // h)) for h in halves]
+
+    def kernel(*refs):
+        x_ref, tw_refs, o_ref = refs[0], refs[1:-1], refs[-1]
+        tw_map = {h: r[:] for h, r in zip(halves, tw_refs)}
+        with _kernel_ctx():
+            o_ref[:] = fb(x_ref[:], lambda h, _w: tw_map[h])
+
+    spec = pl.BlockSpec((16, blk), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((16, blk), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(flat.shape[1] // blk,),
+        in_specs=[spec] + [tw_spec] * len(tiles),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.uint32),
+        interpret=jax.default_backend() == "cpu",
+    )(flat, *tiles)
+    return out.reshape(shape)

@@ -16,9 +16,10 @@ For each c-bit window:
      columns (C-step sequential, n/C lanes wide) plus a roll-based
      Hillis-Steele pass over chunk totals — 2 adder instantiations total,
   4. window total       — with A_j = PS(cum_j) (cum_j counts digits
-     <= j), sum_j j*B_j TELESCOPES to M*A_M - sum_{j<M} A_j: one
-     boundary gather-add per bucket, one tree sum, c-1 doublings —
-     bucket sums are never materialized and no scatter ever happens.
+     <= j), sum_j j*B_j TELESCOPES to sum_{j<M} (A_M - A_j): one
+     boundary gather-add per bucket, one wide difference, one pairwise
+     halving tree — bucket sums are never materialized and no scatter
+     ever happens.
 
 Windows are *batched on a vector axis* (leaves (16, G, n)) and processed
 in groups of G via lax.scan, so the sequential chunk scan is paid once
@@ -357,23 +358,24 @@ def n_windows(c: int, bits: int = SCALAR_BITS) -> int:
 
 def best_window_bits(n: int, segment: int = 0) -> int:
     """Pick c minimizing the cost model of this formulation (PERF.md):
-    per window, sort+gather+scan ~ n lane-adds and the TELESCOPED
-    extraction ~ 4 * 2^(c-1) point-equivalents per segment (boundary
-    gather-adds + tree sum; fitted on v5e — see PERF.md round-3 sweep).
+    per window, sort+gather+scan ~ n point-equivalents and the
+    TELESCOPED extraction ~ 15 * 2^(c-1) point-equivalents per segment.
+    The 15 is fitted on v5e (round-3 phase bench: extraction
+    13.2 ms/window at M=4096 vs 0.22 us/point n-term) — extraction ops
+    are narrower than the scan, so a bucket costs ~15x a point even
+    though it does ~2 adds of work.
 
-    Directly measured v5e optima override the model where available:
-    with telescoped extraction the optimum moved from the round-2 c=13
-    plateau to c=14 at 2^18 and c=16 at 2^20+ (round-3 sweep)."""
-    if not segment:
-        if n >= (1 << 19):
-            return 16
-        if n >= (1 << 17):
-            return 14
+    Measured v5e optima agree with the model and override it where
+    we swept directly: c=13 beat c=14/15/16 at 2^18 AND 2^20 even with
+    telescoped extraction (round-3 sweep: 613k/576k/562k/530k pts/s at
+    2^18; 1042k/1019k/918k at 2^20)."""
+    if not segment and n >= (1 << 17):
+        return 13
     nseg = max(n // segment, 1) if segment else 1
     best, best_cost = 1, None
     for c in range(1, 17):
         nwin = -(-SCALAR_BITS // c)
-        bucket = 4 * nseg * (1 << (c - 1))
+        bucket = 15 * nseg * (1 << (c - 1))
         cost = nwin * (n + bucket)
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost

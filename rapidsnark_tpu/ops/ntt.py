@@ -104,6 +104,16 @@ class NTTPlan:
         return out
 
 
+def _unpack_rows(a):
+    """(8, ...) packed twiddle rows -> (16, ...) limbs (tables may be
+    stored PACKED to halve their HBM residency; ops/msm.pack_limb_rows
+    layout)."""
+    if a.shape[0] == 16:
+        return a
+    from .msm import unpack_limb_rows
+    return unpack_limb_rows(a)
+
+
 def _apply_stage(x, tw, half: int, stride: int, dif: bool):
     """One butterfly layer: pairs (lane, lane XOR half) by STATIC
     reshape, never a gather. When half is below the 128-lane tile, the
@@ -114,7 +124,7 @@ def _apply_stage(x, tw, half: int, stride: int, dif: bool):
     n = x.shape[-1]
     nblk = n // (2 * half)
     bshape = x.shape[:-1]
-    tws = tw[:, ::stride][:, :half]              # (16, half)
+    tws = _unpack_rows(tw[:, ::stride][:, :half])  # (16, half)
     xv = x.reshape(bshape + (nblk, 2, half))
     swap = half < 128 <= nblk
     if swap:
@@ -132,14 +142,37 @@ def _apply_stage(x, tw, half: int, stride: int, dif: bool):
     return y.reshape(bshape + (n,))
 
 
+def _tail_stages(n: int) -> int:
+    """How many half<128 stages to fuse into ONE ops/fused.ntt_tail
+    kernel (TPU only): avoids the (…, nblk, 2, half) views whose
+    16-lane trailing axes get 8x layout padding (an 8 GB HLO temp per
+    2^24 poly — the round-3 front OOM) and keeps those stages in VMEM."""
+    from . import fused
+    logn = n.bit_length() - 1
+    if not fused.enabled() or n < (1 << 12):
+        return 0
+    return min(7, logn)  # halves 1..64
+
+
+def _tail_tws(tw, n: int, k: int):
+    """{half: (16, half)} twiddle rows for the k smallest-half stages."""
+    return {1 << s: _unpack_rows(tw[:, ::(n >> (s + 1))][:, :1 << s])
+            for s in range(k)}
+
+
 def _stages_dit(x, tw):
     """Decimation-in-time stages: BIT-REVERSED input -> natural output.
-    x: (16, *batch, N); tw: (16, N/2) Montgomery twiddles. Every stage
-    is one fused butterfly kernel over n/2 lanes (ops/fused.py)."""
+    x: (16, *batch, N); tw: (16, N/2) Montgomery twiddles. half<128
+    stages run fused in one VMEM kernel; the rest are one fused
+    butterfly kernel over n/2 lanes each (ops/fused.py)."""
+    from . import fused
     n = x.shape[-1]
     logn = n.bit_length() - 1
     tw = jnp.asarray(tw)
-    for s in range(logn):
+    k0 = _tail_stages(n)
+    if k0:
+        x = fused.ntt_tail(x, _tail_tws(tw, n, k0), dif=False)
+    for s in range(k0, logn):
         x = _apply_stage(x, tw, 1 << s, 1 << (logn - 1 - s), dif=False)
     return x
 
@@ -149,11 +182,15 @@ def _stages_dif(x, tw):
     output. With inverse twiddles this is the unscaled inverse DFT —
     DIF + (elementwise work) + DIT composes with NO bit-reversal
     permutations at all (the coset pipeline below)."""
+    from . import fused
     n = x.shape[-1]
     logn = n.bit_length() - 1
     tw = jnp.asarray(tw)
-    for k in range(logn):
+    k0 = _tail_stages(n)
+    for k in range(logn - k0):
         x = _apply_stage(x, tw, 1 << (logn - 1 - k), 1 << k, dif=True)
+    if k0:
+        x = fused.ntt_tail(x, _tail_tws(tw, n, k0), dif=True)
     return x
 
 
@@ -206,7 +243,19 @@ def to_odd_coset(x, arrays, eta: int = 0):
         x = FR.mul(x, shift)
         return ntt(x, arrays)
     x = _stages_dif(x, arrays["inv_tw"])
-    shift = jnp.broadcast_to(
-        shift_br.reshape((16,) + (1,) * (x.ndim - 2) + (n,)), x.shape)
-    x = FR.mul(x, shift)
+    ch = 1 << 22
+    if x.ndim == 2 and n > ch:
+        # chunk the full-width shift mul — at 2^24 one (16, N) mont_mul
+        # holds ~200 B/lane of CIOS temporaries (HBM; prover.py front)
+        import jax
+        x = jax.lax.map(
+            lambda args: FR.mul(args[0], _unpack_rows(args[1])),
+            (jnp.moveaxis(x.reshape(16, n // ch, ch), 1, 0),
+             jnp.moveaxis(shift_br.reshape(
+                 shift_br.shape[0], n // ch, ch), 1, 0)))
+        x = jnp.moveaxis(x, 0, 1).reshape(16, n)
+    else:
+        shift = jnp.broadcast_to(_unpack_rows(shift_br).reshape(
+            (16,) + (1,) * (x.ndim - 2) + (n,)), x.shape)
+        x = FR.mul(x, shift)
     return _stages_dit(x, arrays["fwd_tw"])

@@ -68,14 +68,34 @@ def _msm_stage(pts_g1, pts_g2, h_row, wit_row, c_row, *, c_bits: int,
     keyed ONLY on the MSM config: every circuit with the same
     (nmax, c, G, segment, mesh) shares this compiled executable
     regardless of its domain/coefficient structure."""
-    g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])  # (4, nmax, 8)
+    nmax = h_row.shape[0]
     if mesh is None:
-        g1w = MSM.msm(G1P, pts_g1, g1_sc, c_bits, window_group,
-                      combine=False, segment=segment)
+        if nmax < (1 << 23):
+            g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])
+            g1w = MSM.msm(G1P, pts_g1, g1_sc, c_bits, window_group,
+                          combine=False, segment=segment)
+        else:
+            # 2^23+: the 4-row batch's scan working set + scalar-side
+            # buffers do not fit HBM next to the resident tables — run
+            # TWO 2-row blocks through ONE lax.map-compiled MSM body
+            # ([H,A] with [h,wit], then [B1,C] with [wit,c])
+            xs_p = jax.tree.map(
+                lambda a: jnp.moveaxis(
+                    a.reshape(8, 2, 2, a.shape[-1]), 1, 0), pts_g1)
+            xs_s = jnp.stack([jnp.stack([h_row, wit_row]),
+                              jnp.stack([wit_row, c_row])])
+            out = jax.lax.map(
+                lambda args: MSM.msm(G1P, args[0], args[1], c_bits,
+                                     window_group, combine=False,
+                                     segment=segment), (xs_p, xs_s))
+            g1w = jax.tree.map(
+                lambda a: jnp.moveaxis(a, 0, 2).reshape(
+                    a.shape[1], a.shape[2], 4), out)
         g2w = MSM.msm(G2P, pts_g2, wit_row[None], c_bits, window_group,
                       combine=False, segment=segment)
     else:
         from .parallel import pmsm
+        g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])
         g1w = pmsm.msm_sharded(G1P, pts_g1, g1_sc, c_bits, mesh,
                                window_group, combine=False,
                                segment=segment)
@@ -235,7 +255,17 @@ class Prover:
 
         # --- NTT plan for the proving domain ------------------------------
         plan = NTTPlan(self.power)
-        self.ntt_arrays = {k: jnp.asarray(v) for k, v in plan.arrays().items()}
+        arrays = plan.arrays()
+        if mesh is None:
+            # the coset pipeline touches only these three; drop the
+            # rest (bitrev/ninv/coset are ~1.1 GiB of dead residency at
+            # 2^24), and store them PACKED at 2^20+ (halves residency;
+            # ops/ntt unpacks per-stage slices)
+            keep = ("fwd_tw", "inv_tw", "coset_ninv_br")
+            arrays = {k: v for k, v in arrays.items() if k in keep}
+            if self.power >= 20:
+                arrays = {k: MSM.pack_limb_rows(v) for k, v in arrays.items()}
+        self.ntt_arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
         self.eta = plan.eta
 
         # distributed four-step NTT when the domain splits over the mesh
@@ -346,12 +376,31 @@ class Prover:
         # __init__): the accumulation is gather + mul + a reshape-reduce
         # over the slot axis — no device scatter.
         K = self.coef_slots
-        wp = jnp.take(witness, tables["coef_s"], axis=0)  # (2n*K, 8)
-        w = MSM.unpack_limb_rows(wp.T)                    # (16, 2n*K)
-        cv = MSM.unpack_limb_rows(tables["coef_val"].T)   # words -> limbs
-        prod = FR.mul(w, cv)                              # standard-form
-        acc = FF.pack(prod).reshape(2 * n, K, 16).sum(
-            axis=1, dtype=jnp.uint32)                     # (2n, 16)
+
+        def slot_acc(args):
+            s, v = args                                  # (m, 8) each
+            w = MSM.unpack_limb_rows(
+                jnp.take(witness, s, axis=0).T)          # (16, m)
+            cv = MSM.unpack_limb_rows(v.T)
+            prod = FR.mul(w, cv)                         # standard-form
+            return FF.pack(prod).reshape(-1, K, 16).sum(
+                axis=1, dtype=jnp.uint32)                # (m/K, 16)
+
+        rows_per_chunk = max((1 << 21) // K, 1)
+        if 2 * n > rows_per_chunk and (2 * n) % rows_per_chunk == 0:
+            # big domains: the full-width gather+mul holds ~200 bytes of
+            # CIOS temporaries per record lane — at 2^24 that alone
+            # overflows HBM next to the resident tables (round-3 OOM:
+            # 24 G needed of 15.75 G). lax.map over fixed row chunks
+            # caps the working set at ~0.5 GB.
+            nch = (2 * n) // rows_per_chunk
+            acc = jax.lax.map(
+                slot_acc,
+                (tables["coef_s"].reshape(nch, rows_per_chunk * K),
+                 tables["coef_val"].reshape(nch, rows_per_chunk * K, 8)))
+            acc = acc.reshape(2 * n, 16)
+        else:
+            acc = slot_acc((tables["coef_s"], tables["coef_val"]))
 
         if "left_s" in tables:
             # spilled records (> K terms on a row): segment-sum pass;
@@ -372,37 +421,70 @@ class Prover:
 
         acc = jnp.concatenate(
             [acc, jnp.zeros((2 * n, 2), jnp.uint32)], axis=1)  # carry room
-        ab = FR.reduce_wide(FF.unpack(acc))              # (16, 2N) canonical
+        rch = 1 << 22
+        if 2 * n > rch:  # chunk the canonicalizing muls (HBM, see above)
+            red = jax.lax.map(
+                lambda a: FF.pack(FR.reduce_wide(FF.unpack(a))),
+                acc.reshape((2 * n) // rch, rch, 18))
+            ab = FF.unpack(red.reshape(2 * n, 16))
+        else:
+            ab = FR.reduce_wide(FF.unpack(acc))          # (16, 2N) canonical
         ab = ab.reshape(16, 2, n)
-        cvec = FR.mul(ab[:, 0], ab[:, 1])                # (16, N)
+        cch = 1 << 22
+        if n > cch:  # chunk the full-width mul (HBM, see above)
+            absplit = jnp.moveaxis(
+                ab.reshape(16, 2, n // cch, cch), 2, 0)
+            cvec = jnp.moveaxis(
+                jax.lax.map(lambda p: FR.mul(p[:, 0], p[:, 1]), absplit),
+                0, 1).reshape(16, n)
+        else:
+            cvec = FR.mul(ab[:, 0], ab[:, 1])            # (16, N)
 
         # --- coset FFTs + h scalars (groth16.cpp:99-166) ------------------
-        polys = jnp.concatenate([ab, cvec[:, None]], axis=1)  # (16, 3, N)
         if self.dntt_plan is not None:
             # distributed: ifft -> eta^k shift -> fft with four-step
             # all-to-all transforms over the mesh (parallel/pntt.py)
             from .parallel.pntt import dntt
+            polys = jnp.concatenate([ab, cvec[:, None]], axis=1)
             polys = dntt(polys, tables["dntt"], self.dntt_plan,
                          self.mesh, inverse=True)
             shift = jnp.broadcast_to(
                 tables["ntt"]["coset"][:, None, :], polys.shape)
             polys = FR.mul(polys, shift)
             polys = dntt(polys, tables["dntt"], self.dntt_plan, self.mesh)
+            a2, b2, c2 = polys[:, 0], polys[:, 1], polys[:, 2]
         elif self.ntt_seq:
-            # big domains: a/b/c transformed SEQUENTIALLY (lax.map) —
-            # the batched form holds 3x the stage temporaries, which
-            # does not fit HBM next to the resident point tables
-            polys = jax.lax.map(
-                lambda p: to_odd_coset(p, tables["ntt"], self.eta),
-                jnp.moveaxis(polys, 1, 0))          # (3, 16, N)
-            polys = jnp.moveaxis(polys, 0, 1)
+            # big domains: a/b/c transformed SEQUENTIALLY and UNROLLED,
+            # never stacked — each source buffer dies as its transform
+            # completes (a (16, 3, N) stack is 3 GB at 2^24 and lax.map
+            # would hold input + stacked output + stage temporaries,
+            # the round-3 front OOM)
+            a2 = to_odd_coset(ab[:, 0], tables["ntt"], self.eta)
+            b2 = to_odd_coset(ab[:, 1], tables["ntt"], self.eta)
+            c2 = to_odd_coset(cvec, tables["ntt"], self.eta)
         else:
+            polys = jnp.concatenate([ab, cvec[:, None]], axis=1)
             polys = to_odd_coset(polys, tables["ntt"], self.eta)
-        a2, b2, c2 = polys[:, 0], polys[:, 1], polys[:, 2]
-        h = FR.from_mont(FR.sub(FR.mul(a2, b2), c2))     # groth16.cpp:162
+            a2, b2, c2 = polys[:, 0], polys[:, 1], polys[:, 2]
+
+        def h_of(p):                                     # ((16,m),)*3
+            # groth16.cpp:162
+            return FR.from_mont(FR.sub(FR.mul(p[0], p[1]), p[2]))
+
+        hch = 1 << 22
+        if n > hch:
+            # chunk the two full-width muls (same HBM rationale as the
+            # coefficient accumulation above); chunks emit PACKED words
+            # directly so the unpacked (16, N) h never materializes
+            split = tuple(jnp.moveaxis(v.reshape(16, n // hch, hch), 1, 0)
+                          for v in (a2, b2, c2))
+            hp = jnp.moveaxis(
+                jax.lax.map(lambda p: MSM.pack_limb_rows(h_of(p)), split),
+                0, 1).reshape(8, n)
+        else:
+            hp = MSM.pack_limb_rows(h_of((a2, b2, c2)))
 
         # --- scalar rows for the 5 MSMs (plain LE integers, packed) ------
-        hp = MSM.pack_limb_rows(h)                           # (8, n)
         wit_row = jnp.zeros((nmax, 8), jnp.uint32
                             ).at[:self.n_vars].set(witness)
         h_row = jnp.zeros((nmax, 8), jnp.uint32).at[:n].set(hp.T)
