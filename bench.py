@@ -1,10 +1,10 @@
 """Benchmark harness: the BASELINE.md ladder as machine-readable JSON.
 
 Emits ONE JSON line per metric. Order is driver-proof (BENCH_r02's
-rc=124 lesson): the END-TO-END PROVE LADDER runs FIRST — one quick
-size so a prove line lands within ~2 minutes no matter what, then
-LARGEST fixture first so the headline (2^24) lands next; kernel
-metrics (MSM points/s, NTT butterflies/s) follow only if the
+rc=124 lesson): the END-TO-END PROVE LADDER runs FIRST, ASCENDING —
+a prove line lands within ~2 minutes and every completed size adds a
+rung, so an external kill mid-way keeps the whole ladder below it;
+kernel metrics (MSM points/s, NTT butterflies/s) follow only if the
 self-imposed wall-clock budget has room. The final line repeats the
 headline (largest successful prove) — the driver parses the last line.
 
@@ -149,7 +149,13 @@ def bench_msm(curve_name: str, log_n: int, reps: int, c):
         run()
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    nwin = M.n_windows(c)
+    # roofline accounting: under GLV every ORIGINAL point pays
+    # 2 entries x ceil(128/c) windows of scan adds
+    from rapidsnark_tpu.ops import glv as GLV
+    if GLV.enabled():
+        nwin = 2 * M.n_windows(c, GLV.GLV_BITS)
+    else:
+        nwin = M.n_windows(c)
     return n / dt, dt, c, nwin
 
 
@@ -239,13 +245,13 @@ def main():
                 n = int(m.group(1))
                 if n.bit_length() - 1 <= max_logn:
                     sizes.append(n.bit_length() - 1)
-        # order (BENCH_r02's rc=124 lesson, refined): ONE quick size
-        # first so the driver always sees a prove line within ~2 min,
-        # then the rest LARGEST-first so the headline lands next; all
-        # but the first size are budget-gated.
-        order = sorted(sizes, reverse=True)
-        if len(order) > 1:
-            order = [order[-1]] + order[:-1]
+        # order (BENCH_r02's rc=124 lesson, refined again): ASCENDING —
+        # a prove line lands within ~2 min, every completed size adds a
+        # rung, and the headline (largest successful) grows
+        # monotonically, so an external kill mid-2^24 still leaves the
+        # full ladder below it. Kernel metrics only run after the
+        # ladder, and each rung past the first is budget-gated.
+        order = sorted(sizes)
         for i, ln in enumerate(order):
             if i > 0 and _remaining() < _prove_cost_estimate_s(ln):
                 _emit(f"groth16_prove_SKIPPED_2^{ln}", None, "s", None,

@@ -28,7 +28,7 @@ def window_bits() -> Optional[int]:
 
 
 def window_group() -> int:
-    return _int_env("RSTPU_WINDOW_GROUP") or 4
+    return _int_env("RSTPU_WINDOW_GROUP") or 5
 
 
 def ntt_sequential(power: int) -> bool:
@@ -53,3 +53,15 @@ def msm_segment(n: int) -> int:
     if n >= (1 << 24):
         return 1 << 19   # 2^24 tables leave <2 GB for the scan set
     return (1 << 20) if n > (1 << 21) else 0
+
+
+def g1_blocked(nmax: int) -> bool:
+    """Store the 4 G1 tables as two (8, 2, nmax) blocks ([H,A], [B1,C])
+    and run the G1 MSM as a 2-iteration lax.map: at 2^23+ the 4-row
+    batch's scan working set + scalar buffers do not fit HBM next to
+    the resident tables, and a per-prove reshape of the (8, 4, nmax)
+    layout would copy all 4 GB. RSTPU_G1_BLOCKS=1/0 overrides."""
+    v = os.environ.get("RSTPU_G1_BLOCKS")
+    if v is not None:
+        return v != "0"
+    return nmax >= (1 << 23)

@@ -261,18 +261,21 @@ def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 def _raw_digit(scalars: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
-    """Window w's unsigned c-bit digit from PACKED scalars (*b, n, 8)."""
+    """Window w's unsigned c-bit digit from PACKED scalars (*b, n, W)
+    (W = 8 full-width, 4 for GLV halves — bits past 32*W are zero)."""
+    nw = scalars.shape[-1]
     mask = jnp.uint32((1 << c) - 1)
     off_bits = w * c
     word, off = divmod(off_bits, 32)
-    v = (scalars[..., word] >> off) if word < 8 else jnp.zeros(
+    v = (scalars[..., word] >> off) if word < nw else jnp.zeros(
         scalars.shape[:-1], jnp.uint32)
-    if off and word + 1 < 8:
+    if off and word + 1 < nw:
         v = v | (scalars[..., word + 1] << (32 - off))
     return (v & mask).astype(jnp.int32)
 
 
-def signed_digit_carries(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+def signed_digit_carries(scalars: jnp.ndarray, c: int,
+                         bits: int = SCALAR_BITS) -> jnp.ndarray:
     """Per-window carry bits of the signed recode, packed as one u32
     bitmask per scalar (bit w = carry INTO window w).
 
@@ -280,7 +283,7 @@ def signed_digit_carries(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     rows is W*4 bytes/point (5+ GB); with this mask the scan recomputes
     each window group's digits on the fly (cheap bit extraction) from
     the scalars it already holds."""
-    nwin = -(-SCALAR_BITS // c)
+    nwin = -(-bits // c)
     assert nwin <= 64
     half = 1 << (c - 1)
     bits = [jnp.zeros(scalars.shape[:-1], jnp.uint32) for _ in range(2)]
@@ -368,15 +371,21 @@ def best_window_bits(n: int, segment: int = 0) -> int:
     Measured v5e optima agree with the model and override it where
     we swept directly: c=13 beat c=14/15/16 at 2^18 AND 2^20 even with
     telescoped extraction (round-3 sweep: 613k/576k/562k/530k pts/s at
-    2^18; 1042k/1019k/918k at 2^20)."""
+    2^18; 1042k/1019k/918k at 2^20). Under GLV (ops/glv.py, the
+    default) the scan term doubles (2n entries) and windows cover 128
+    bits — the model optimum stays c=13 at 2^17+."""
+    from . import glv as GLV
+    glv = GLV.enabled()
     if not segment and n >= (1 << 17):
         return 13
-    nseg = max(n // segment, 1) if segment else 1
+    bits = GLV.GLV_BITS if glv else SCALAR_BITS
+    neff = 2 * n if glv else n
+    nseg = max(neff // segment, 1) if segment else 1
     best, best_cost = 1, None
     for c in range(1, 17):
-        nwin = -(-SCALAR_BITS // c)
+        nwin = -(-bits // c)
         bucket = 15 * nseg * (1 << (c - 1))
-        cost = nwin * (n + bucket)
+        cost = nwin * (neff + bucket)
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best
@@ -486,8 +495,44 @@ def _combine_windows(curve: CurveOps, wpts, nwin: int, c: int):
     return jax.lax.fori_loop(0, 2 * total_bits, body, identity)
 
 
+def _phi_apply_x(curve: CurveOps, x, flag=None):
+    """Multiply a PACKED x-coordinate (leaf or Fq2 pair of leaves) by
+    the GLV beta constant (ops/glv.py) — the endomorphism
+    phi(x, y) = (beta*x, y) on table points. `flag`: optional traced
+    bool — identity when False (segmented path, uniform per slice)."""
+    from . import glv
+    from .field import FQ
+    beta = glv.params_for(curve).beta_mont
+    leaves = (x,) if not isinstance(x, tuple) else x
+    outs = []
+    for a in leaves:
+        u = unpack_limb_rows(a)
+        m = FQ.mul(u, FQ.const(beta, u.shape[1:]))
+        if flag is not None:
+            m = jnp.where(flag, m, u)
+        outs.append(pack_limb_rows(m))
+    return outs[0] if not isinstance(x, tuple) else tuple(outs)
+
+
+def _phi_extend(curve: CurveOps, pts):
+    """(x, y) table of n points -> 2n-entry virtual GLV table
+    [P_0..P_{n-1}, phi(P_0)..phi(P_{n-1})]: x doubles with the beta
+    image appended, y repeats. (0,0) infinity padding is fixed by phi.
+    Built PER WINDOW GROUP inside the msm scan (n cheap const muls
+    amortized over G windows) so the extension never lives in HBM
+    across the MSM."""
+    x, y = pts
+    xphi = _phi_apply_x(curve, x)
+    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    x2 = (cat(x, xphi) if not isinstance(x, tuple)
+          else tuple(cat(a, b) for a, b in zip(x, xphi)))
+    y2 = _map_leaves(y, lambda a: jnp.concatenate([a, a], axis=-1))
+    return (x2, y2)
+
+
 def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
-        window_group: int = 5, combine: bool = True, segment: int = 0):
+        window_group: int = 5, combine: bool = True, segment: int = 0,
+        glv: bool | None = None):
     """Multi-scalar multiplication, batched over leading axes.
 
     pts: PACKED affine point pytree, leaves (8, *batch, n) — two 16-bit
@@ -510,23 +555,40 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     slices before the one weighted suffix pass per window group — this
     bounds the prefix-scan working set (the all-positions `within`
     array is ~192*G*B bytes per point) so 2^24-scale MSMs fit in HBM.
+
+    `glv` (default: ops/glv.enabled()) decomposes every scalar into two
+    ~127-bit halves against the curve's cube-root endomorphism
+    (ops/glv.py): the window count HALVES (ceil(128/c) vs ceil(256/c))
+    over a 2n-entry virtual table [P, phi(P)] — same total scan adds,
+    half the bucket-extraction passes (the dominant fixed cost per
+    window). Entry signs fold into the signed digit encoding by XOR.
     """
-    n = scalars.shape[-2]
+    from . import glv as GLV
+    if glv is None:
+        glv = GLV.enabled()
+    npts = scalars.shape[-2]
     bshape = scalars.shape[:-2]
-    nwin = -(-SCALAR_BITS // c)
+    if glv:
+        scalars, neg = GLV.decompose(GLV.params_for(curve), scalars)
+        bits = GLV.GLV_BITS
+    else:
+        neg, bits = None, SCALAR_BITS
+    n = scalars.shape[-2]           # 2*npts under GLV
+    nwin = -(-bits // c)
     G_ = min(window_group, nwin)
     while nwin % G_:
         G_ -= 1
     # G2 runs the scan on the cheap-b3 iso-twist (ops/curve.py G2P_ISO;
     # prepare_g2 / the prover rescale the tables once); window totals
     # are rescaled BACK below, so combines and callers stay on the
-    # original curve
+    # original curve. phi commutes with the iso rescale (both are
+    # diagonal coordinate scalings), so GLV composes transparently.
     iso = getattr(curve, "iso_scan", None)
     sc = iso or curve
     # digits are (re)computed per window group inside the scan — one u32
     # carry bitmask per scalar instead of W int32 digit rows (a 2^24-
     # scale MSM cannot hold the full digit tensor next to the tables)
-    carries = signed_digit_carries(scalars, c)
+    carries = signed_digit_carries(scalars, c, bits)
     s9 = jnp.concatenate(
         [scalars, jnp.zeros(bshape + (n, 1), jnp.uint32)], axis=-1)
 
@@ -535,15 +597,28 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
         S = n // segment
 
         def step(_, ig):
-            dg = group_signed_digits(s9, carries, ig * G_, G_, c)
             acc0 = sc.inf((G_,) + bshape)
 
             def seg_step(acc, i):
                 off = i * segment
+                flag = off >= npts
+                offp = jnp.where(flag, off - npts, off)
                 pseg = _pt_map(pts, lambda a: jax.lax.dynamic_slice_in_dim(
-                    a, off, segment, axis=a.ndim - 1))
-                dseg = jax.lax.dynamic_slice_in_dim(
-                    dg, off, segment, axis=dg.ndim - 1)
+                    a, offp, segment, axis=a.ndim - 1))
+                if glv:  # phi image for slices in the upper half
+                    pseg = (_phi_apply_x(sc, pseg[0], flag), pseg[1])
+                # digits computed PER SLICE from sliced scalars — a
+                # full-axis digit tensor is G*4 bytes/entry (1.3 GB per
+                # group at 2^24-GLV scale), a slice's is ~KBs
+                s9seg = jax.lax.dynamic_slice_in_dim(
+                    s9, off, segment, axis=s9.ndim - 2)
+                cseg = jax.lax.dynamic_slice_in_dim(
+                    carries, off, segment, axis=carries.ndim - 1)
+                dseg = group_signed_digits(s9seg, cseg, ig * G_, G_, c)
+                if neg is not None:
+                    nseg = jax.lax.dynamic_slice_in_dim(
+                        neg, off, segment, axis=neg.ndim - 1)
+                    dseg = dseg ^ nseg[None].astype(dseg.dtype)
                 # window totals are linear in the bucket sums, so each
                 # slice contributes ONE point per window (telescoped
                 # extraction per slice) — no (G, *batch, 2^(c-1)+1)
@@ -557,7 +632,10 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     else:
         def step(_, ig):
             dg = group_signed_digits(s9, carries, ig * G_, G_, c)
-            return None, _window_group(sc, pts, dg, n, c)
+            if neg is not None:
+                dg = dg ^ neg[None].astype(dg.dtype)
+            p2 = _phi_extend(sc, pts) if glv else pts
+            return None, _window_group(sc, p2, dg, n, c)
 
     _, wg = jax.lax.scan(step, None,
                          jnp.arange(nwin // G_, dtype=jnp.int32))

@@ -82,7 +82,7 @@ def msm_sharded(curve: CurveOps, pts, scalars, c: int, mesh,
         wpts = _pt_map(total, lambda a: a[..., -1])
         if not combine:
             return wpts
-        nwin = -(-MSM.SCALAR_BITS // c)
+        nwin = jax.tree.leaves(wpts)[0].shape[1]  # halved under GLV
         return MSM._combine_windows(curve, wpts, nwin, c)
 
     # output is a JACOBIAN point (3 coords) regardless of the affine

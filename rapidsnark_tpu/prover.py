@@ -68,26 +68,28 @@ def _msm_stage(pts_g1, pts_g2, h_row, wit_row, c_row, *, c_bits: int,
     keyed ONLY on the MSM config: every circuit with the same
     (nmax, c, G, segment, mesh) shares this compiled executable
     regardless of its domain/coefficient structure."""
-    nmax = h_row.shape[0]
     if mesh is None:
-        if nmax < (1 << 23):
+        if jax.tree.leaves(pts_g1)[0].ndim == 3:
             g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])
             g1w = MSM.msm(G1P, pts_g1, g1_sc, c_bits, window_group,
                           combine=False, segment=segment)
         else:
-            # 2^23+: the 4-row batch's scan working set + scalar-side
-            # buffers do not fit HBM next to the resident tables — run
-            # TWO 2-row blocks through ONE lax.map-compiled MSM body
-            # ([H,A] with [h,wit], then [B1,C] with [wit,c])
-            xs_p = jax.tree.map(
-                lambda a: jnp.moveaxis(
-                    a.reshape(8, 2, 2, a.shape[-1]), 1, 0), pts_g1)
-            xs_s = jnp.stack([jnp.stack([h_row, wit_row]),
-                              jnp.stack([wit_row, c_row])])
-            out = jax.lax.map(
-                lambda args: MSM.msm(G1P, args[0], args[1], c_bits,
-                                     window_group, combine=False,
-                                     segment=segment), (xs_p, xs_s))
+            # blocked tables (2, 8, 2, nmax), config.g1_blocked: the
+            # 4-row batch's scan working set + scalar-side buffers do
+            # not fit HBM next to the resident 2^23+ tables — run TWO
+            # 2-row blocks through ONE lax.map-compiled MSM body
+            # ([H,A] with [h,wit], then [B1,C] with [wit,c]); scalar
+            # rows are dynamic 2-slices of ONE (3, nmax, 8) stack so
+            # wit_row is never duplicated
+            rows3 = jnp.stack([h_row, wit_row, c_row])
+
+            def blk(args):
+                pts_b, i = args
+                sc = jax.lax.dynamic_slice_in_dim(rows3, i, 2, axis=0)
+                return MSM.msm(G1P, pts_b, sc, c_bits, window_group,
+                               combine=False, segment=segment)
+
+            out = jax.lax.map(blk, (pts_g1, jnp.arange(2)))
             g1w = jax.tree.map(
                 lambda a: jnp.moveaxis(a, 0, 2).reshape(
                     a.shape[1], a.shape[2], 4), out)
@@ -113,7 +115,7 @@ class Prover:
     """
 
     def __init__(self, zkey: ZKey, window_bits: Optional[int] = None,
-                 window_group: int = 5, mesh=None):
+                 window_group: Optional[int] = None, mesh=None):
         # NOTE: the zkey is consumed here, not retained — every table is
         # repacked into device arrays / host ints during construction, so
         # the caller may zkey.close() as soon as this returns and the
@@ -158,9 +160,18 @@ class Prover:
             _pad_points(zkey.points_b1, self.nmax),
             _pad_points(zkey.points_c, self.nmax),
         ])                                   # (4, nmax, 2, 8)
-        x = jnp.asarray(np.moveaxis(stacked[:, :, 0, :], -1, 0))
-        y = jnp.asarray(np.moveaxis(stacked[:, :, 1, :], -1, 0))
-        self.pts_g1 = (x, y)                 # leaves (8, 4, nmax)
+        if mesh is None and config.g1_blocked(self.nmax):
+            # two (8, 2, nmax) blocks [H,A] / [B1,C] on a leading map
+            # axis — the big-domain G1 MSM lax.maps over blocks and
+            # this layout slices without copying (config.g1_blocked)
+            blk = stacked.reshape(2, 2, self.nmax, 2, 8)
+            x = jnp.asarray(np.moveaxis(blk[:, :, :, 0, :], -1, 1))
+            y = jnp.asarray(np.moveaxis(blk[:, :, :, 1, :], -1, 1))
+            self.pts_g1 = (x, y)             # leaves (2, 8, 2, nmax)
+        else:
+            x = jnp.asarray(np.moveaxis(stacked[:, :, 0, :], -1, 0))
+            y = jnp.asarray(np.moveaxis(stacked[:, :, 1, :], -1, 0))
+            self.pts_g1 = (x, y)             # leaves (8, 4, nmax)
 
         b2 = _pad_points(zkey.points_b2, self.nmax)[None]  # (1, nmax, 4, 8)
         cs = [jnp.asarray(np.moveaxis(b2[:, :, k, :], -1, 0))
@@ -366,7 +377,15 @@ class Prover:
         """Stage 1: witness -> the five MSM scalar rows (plain LE packed
         integers). Covers groth16.cpp:52-166: coefficient accumulation,
         pointwise products, coset NTTs, h scalars."""
-        n, nmax = self.domain, self.nmax
+        ab, cvec = self._acc(witness, tables)
+        a2, b2, c2 = self._cosets(ab, cvec, tables)
+        hp = self._h_poly(a2, b2, c2)
+        return self._rows(witness, hp)
+
+    def _acc(self, witness, tables):
+        """Coefficient accumulation + pointwise product: witness ->
+        (ab (16, 2, N), cvec (16, N)) canonical evaluations."""
+        n = self.domain
 
         # --- witness -> a, b, c evaluations (groth16.cpp:52-96) ----------
         # witness arrives PACKED (nVars, 8) — the wtns section-2 payload
@@ -439,8 +458,11 @@ class Prover:
                 0, 1).reshape(16, n)
         else:
             cvec = FR.mul(ab[:, 0], ab[:, 1])            # (16, N)
+        return ab, cvec
 
-        # --- coset FFTs + h scalars (groth16.cpp:99-166) ------------------
+    def _cosets(self, ab, cvec, tables):
+        """Coset FFTs (groth16.cpp:99-161): evaluations -> the odd-coset
+        evaluations (a2, b2, c2)."""
         if self.dntt_plan is not None:
             # distributed: ifft -> eta^k shift -> fft with four-step
             # all-to-all transforms over the mesh (parallel/pntt.py)
@@ -466,9 +488,13 @@ class Prover:
             polys = jnp.concatenate([ab, cvec[:, None]], axis=1)
             polys = to_odd_coset(polys, tables["ntt"], self.eta)
             a2, b2, c2 = polys[:, 0], polys[:, 1], polys[:, 2]
+        return a2, b2, c2
+
+    def _h_poly(self, a2, b2, c2):
+        """h = fromMontgomery(a2*b2 - c2) (groth16.cpp:162), PACKED."""
+        n = self.domain
 
         def h_of(p):                                     # ((16,m),)*3
-            # groth16.cpp:162
             return FR.from_mont(FR.sub(FR.mul(p[0], p[1]), p[2]))
 
         hch = 1 << 22
@@ -483,8 +509,11 @@ class Prover:
                 0, 1).reshape(8, n)
         else:
             hp = MSM.pack_limb_rows(h_of((a2, b2, c2)))
+        return hp
 
-        # --- scalar rows for the 5 MSMs (plain LE integers, packed) ------
+    def _rows(self, witness, hp):
+        """Scalar rows for the 5 MSMs (plain LE integers, packed)."""
+        n, nmax = self.domain, self.nmax
         wit_row = jnp.zeros((nmax, 8), jnp.uint32
                             ).at[:self.n_vars].set(witness)
         h_row = jnp.zeros((nmax, 8), jnp.uint32).at[:n].set(hp.T)
@@ -496,6 +525,42 @@ class Prover:
     @functools.partial(jax.jit, static_argnums=0)
     def _front_jit(self, witness, tables):
         return self.front(witness, tables)
+
+    # --- staged front for 2^23+ single-chip domains ------------------------
+    # One fused front program needs ~22 GB of HLO temps at 2^24 (XLA
+    # keeps the a/b/c polys and their NTT stage temporaries alive
+    # together). Dispatching the four sub-stages as SEPARATE XLA
+    # programs with input DONATION caps residency at one transform's
+    # working set: each poly's buffer is reused in place and dies as
+    # its successor completes.
+    @functools.partial(jax.jit, static_argnums=0)
+    def _acc_jit(self, witness, tables):
+        return self._acc(witness, tables)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _coset_jit(self, poly, ntt_tables):
+        return to_odd_coset(poly, ntt_tables, self.eta)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3))
+    def _h_jit(self, a2, b2, c2):
+        return self._h_poly(a2, b2, c2)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+    def _rows_jit(self, witness, hp):
+        return self._rows(witness, hp)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _split_ab_jit(self, ab):
+        return ab[:, 0], ab[:, 1]
+
+    def _front_staged(self, witness, tables):
+        ab, cvec = self._acc_jit(witness, tables)
+        a, b = self._split_ab_jit(ab)
+        a2 = self._coset_jit(a, tables["ntt"])
+        b2 = self._coset_jit(b, tables["ntt"])
+        c2 = self._coset_jit(cvec, tables["ntt"])
+        hp = self._h_jit(a2, b2, c2)
+        return self._rows_jit(witness, hp)
 
     # -- public API ----------------------------------------------------------
 
@@ -548,7 +613,10 @@ class Prover:
         with prof, phase("device_pipeline", self.last_phases):
             tables = self.tables()
             with phase("front", self.last_phases):
-                rows = self._front_jit(witness, tables)
+                if self.ntt_seq and self.mesh is None:
+                    rows = self._front_staged(witness, tables)
+                else:
+                    rows = self._front_jit(witness, tables)
                 jax.block_until_ready(rows)  # phase attribution (~ms)
             with phase("msms", self.last_phases):
                 g1w, g2w = _msm_stage(
