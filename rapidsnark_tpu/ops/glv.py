@@ -229,9 +229,9 @@ def _abs_tc(x, nl: int):
 
 def decompose(params: GLVParams, scalars: jnp.ndarray):
     """(*b, n, 8) packed u32 256-bit scalars (< r) ->
-    (scalars2 (*b, 2n, 4) packed |ki| halves laid out [k1-block, k2-block]
-     (|ki| < 2^127, so 4 words suffice — a 2x HBM saving on the
-     decomposed rows at 2^24 scale),
+    (scalars2 (4, *b, 2n): packed |ki| halves laid out [k1-block |
+     k2-block] on the entry axis, WORD AXIS LEADING (|ki| < 2^127 fits
+     4 words; leading-word/minor-n is the TPU-tileable layout),
      neg (*b, 2n) uint32 0/1 per-entry sign).
 
     Entry i of the 2n-row maps to table point i mod n (second block =
@@ -246,15 +246,15 @@ def decompose(params: GLVParams, scalars: jnp.ndarray):
         nb = len(bsh)
         xs = jnp.moveaxis(scalars.reshape(bsh + (n // ch, ch, 8)), -3, 0)
         kc, negc = jax.lax.map(lambda s: _decompose_core(params, s), xs)
-        # per-chunk layout [k1-chunk, k2-chunk] -> global [k1, k2]
-        def glue(a, width):
-            parts = [jnp.moveaxis(a[..., i * ch:(i + 1) * ch, :][..., :width]
-                                  if width else
-                                  a[..., i * ch:(i + 1) * ch], 0, nb)
+        # per-chunk entry layout [k1-chunk | k2-chunk] (last axis) ->
+        # global [k1 | k2]; the word axis stays LEADING throughout
+        def glue(a, lead):
+            # a: (nch, *lead, *b, 2ch) -> (*lead, *b, 2n)
+            parts = [jnp.moveaxis(a[..., i * ch:(i + 1) * ch], 0, lead + nb)
                      for i in (0, 1)]
-            shp = bsh + (n,) + ((width,) if width else ())
-            return jnp.concatenate([p.reshape(shp) for p in parts], axis=nb)
-        return glue(kc, 4), glue(negc, 0)
+            shp = a.shape[1:1 + lead] + bsh + (n,)
+            return jnp.concatenate([p.reshape(shp) for p in parts], axis=-1)
+        return glue(kc, 1), glue(negc, 0)
     return _decompose_core(params, scalars)
 
 
@@ -281,8 +281,11 @@ def _decompose_core(params: GLVParams, scalars: jnp.ndarray):
     packed, negs = [], []
     for kk in (k1, k2):
         mag, neg = _abs_tc(kk, 11)
-        words = [mag[2 * j] | (mag[2 * j + 1] << 16) for j in range(4)]
-        packed.append(jnp.moveaxis(jnp.stack(words), 0, -1))  # (*b, n, 4)
+        # word axis LEADING, n minor: (4, *b, n) tiles clean on TPU (a
+        # trailing word axis would lane-pad 4 -> 128, a 32x HBM blowup
+        # on any materializing copy at 2^24)
+        packed.append(jnp.stack(
+            [mag[2 * j] | (mag[2 * j + 1] << 16) for j in range(4)]))
         negs.append(neg)
-    return (jnp.concatenate(packed, axis=-2),
-            jnp.concatenate(negs, axis=-1))
+    return (jnp.concatenate(packed, axis=-1),   # (4, *b, 2n)
+            jnp.concatenate(negs, axis=-1))     # (*b, 2n)

@@ -260,22 +260,27 @@ def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(rows).astype(jnp.int32)
 
 
-def _raw_digit(scalars: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
-    """Window w's unsigned c-bit digit from PACKED scalars (*b, n, W)
-    (W = 8 full-width, 4 for GLV halves — bits past 32*W are zero)."""
-    nw = scalars.shape[-1]
+def _raw_digit(scalars: jnp.ndarray, w: int, c: int,
+               lead: bool = False) -> jnp.ndarray:
+    """Window w's unsigned c-bit digit from PACKED scalars — trailing
+    word axis (*b, n, W) by default, or LEADING (W, *b, n) with
+    lead=True (the GLV layout: minor-n tiles clean on TPU). Bits past
+    32*W are zero."""
+    nw = scalars.shape[0] if lead else scalars.shape[-1]
+    bsh = scalars.shape[1:] if lead else scalars.shape[:-1]
+    at = (lambda i: scalars[i]) if lead else (lambda i: scalars[..., i])
     mask = jnp.uint32((1 << c) - 1)
     off_bits = w * c
     word, off = divmod(off_bits, 32)
-    v = (scalars[..., word] >> off) if word < nw else jnp.zeros(
-        scalars.shape[:-1], jnp.uint32)
+    v = (at(word) >> off) if word < nw else jnp.zeros(bsh, jnp.uint32)
     if off and word + 1 < nw:
-        v = v | (scalars[..., word + 1] << (32 - off))
+        v = v | (at(word + 1) << (32 - off))
     return (v & mask).astype(jnp.int32)
 
 
 def signed_digit_carries(scalars: jnp.ndarray, c: int,
-                         bits: int = SCALAR_BITS) -> jnp.ndarray:
+                         bits: int = SCALAR_BITS,
+                         lead: bool = False) -> jnp.ndarray:
     """Per-window carry bits of the signed recode, packed as one u32
     bitmask per scalar (bit w = carry INTO window w).
 
@@ -286,25 +291,28 @@ def signed_digit_carries(scalars: jnp.ndarray, c: int,
     nwin = -(-bits // c)
     assert nwin <= 64
     half = 1 << (c - 1)
-    bits = [jnp.zeros(scalars.shape[:-1], jnp.uint32) for _ in range(2)]
-    carry = jnp.zeros(scalars.shape[:-1], jnp.int32)
+    bsh = scalars.shape[1:] if lead else scalars.shape[:-1]
+    out = [jnp.zeros(bsh, jnp.uint32) for _ in range(2)]
+    carry = jnp.zeros(bsh, jnp.int32)
     for w in range(nwin):
-        d = _raw_digit(scalars, w, c) + carry
+        d = _raw_digit(scalars, w, c, lead) + carry
         neg = d >= half
         carry = neg.astype(jnp.int32)
         if w + 1 < nwin:
             word, bit = divmod(w + 1, 32)
-            bits[word] = bits[word] | (carry.astype(jnp.uint32) << bit)
-    return jnp.stack(bits)  # (2, *b, n)
+            out[word] = out[word] | (carry.astype(jnp.uint32) << bit)
+    return jnp.stack(out)  # (2, *b, n)
 
 
-def group_signed_digits(scalars9, carry_bits, w0, G: int, c: int):
+def group_signed_digits(scalars9, carry_bits, w0, G: int, c: int,
+                        lead: bool = False):
     """ENCODED signed digits (|d|*2 + neg) for windows w0..w0+G-1;
     w0 may be TRACED (the window-group scan index — digits are computed
     inside the scan instead of materialized for all W windows at once).
-    scalars9: (*b, n, 9) — packed scalars with one zero pad word so the
-    straddling 2-word dynamic slice never clamps; carry_bits:
-    (2, *b, n) u32 (64 window-carry bits). Returns (G, *b, n) int32."""
+    scalars9: (*b, n, 9) packed scalars — or (W+1, *b, n) with
+    lead=True — with one zero pad word so the straddling 2-word dynamic
+    slice never clamps; carry_bits: (2, *b, n) u32 (64 window-carry
+    bits). Returns (G, *b, n) int32."""
     half, full = 1 << (c - 1), 1 << c
     w0 = jnp.asarray(w0, jnp.int32)
     rows = []
@@ -313,8 +321,12 @@ def group_signed_digits(scalars9, carry_bits, w0, G: int, c: int):
         off_bits = w * c
         word = off_bits // 32
         off = (off_bits - word * 32).astype(jnp.uint32)
-        sl = jax.lax.dynamic_slice_in_dim(scalars9, word, 2, axis=-1)
-        lo, hi = sl[..., 0], sl[..., 1]
+        if lead:
+            sl = jax.lax.dynamic_slice_in_dim(scalars9, word, 2, axis=0)
+            lo, hi = sl[0], sl[1]
+        else:
+            sl = jax.lax.dynamic_slice_in_dim(scalars9, word, 2, axis=-1)
+            lo, hi = sl[..., 0], sl[..., 1]
         v = (lo >> off) | jnp.where(off > 0, hi << (32 - off), 0)
         d = (v & jnp.uint32(full - 1)).astype(jnp.int32)
         cw = jnp.where(w < 32, carry_bits[0] >> w,
@@ -569,11 +581,13 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     npts = scalars.shape[-2]
     bshape = scalars.shape[:-2]
     if glv:
+        # scalars become (4, *b, 2n) — word axis LEADING (glv.decompose)
         scalars, neg = GLV.decompose(GLV.params_for(curve), scalars)
         bits = GLV.GLV_BITS
+        n = scalars.shape[-1]       # 2*npts
     else:
         neg, bits = None, SCALAR_BITS
-    n = scalars.shape[-2]           # 2*npts under GLV
+        n = scalars.shape[-2]
     nwin = -(-bits // c)
     G_ = min(window_group, nwin)
     while nwin % G_:
@@ -588,9 +602,14 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     # digits are (re)computed per window group inside the scan — one u32
     # carry bitmask per scalar instead of W int32 digit rows (a 2^24-
     # scale MSM cannot hold the full digit tensor next to the tables)
-    carries = signed_digit_carries(scalars, c, bits)
-    s9 = jnp.concatenate(
-        [scalars, jnp.zeros(bshape + (n, 1), jnp.uint32)], axis=-1)
+    carries = signed_digit_carries(scalars, c, bits, lead=glv)
+    if glv:
+        s9 = jnp.concatenate(
+            [scalars, jnp.zeros((1,) + scalars.shape[1:], jnp.uint32)],
+            axis=0)
+    else:
+        s9 = jnp.concatenate(
+            [scalars, jnp.zeros(bshape + (n, 1), jnp.uint32)], axis=-1)
 
     if segment and segment < n:
         assert n % segment == 0 and segment % _CHUNK == 0
@@ -611,10 +630,12 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
                 # full-axis digit tensor is G*4 bytes/entry (1.3 GB per
                 # group at 2^24-GLV scale), a slice's is ~KBs
                 s9seg = jax.lax.dynamic_slice_in_dim(
-                    s9, off, segment, axis=s9.ndim - 2)
+                    s9, off, segment,
+                    axis=s9.ndim - 1 if glv else s9.ndim - 2)
                 cseg = jax.lax.dynamic_slice_in_dim(
                     carries, off, segment, axis=carries.ndim - 1)
-                dseg = group_signed_digits(s9seg, cseg, ig * G_, G_, c)
+                dseg = group_signed_digits(s9seg, cseg, ig * G_, G_, c,
+                                           lead=glv)
                 if neg is not None:
                     nseg = jax.lax.dynamic_slice_in_dim(
                         neg, off, segment, axis=neg.ndim - 1)
@@ -631,7 +652,7 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
             return None, acc
     else:
         def step(_, ig):
-            dg = group_signed_digits(s9, carries, ig * G_, G_, c)
+            dg = group_signed_digits(s9, carries, ig * G_, G_, c, lead=glv)
             if neg is not None:
                 dg = dg ^ neg[None].astype(dg.dtype)
             p2 = _phi_extend(sc, pts) if glv else pts

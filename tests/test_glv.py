@@ -57,13 +57,13 @@ def test_decompose_device_matches_host():
         ks = EDGE + [rng.randrange(R_FR) for _ in range(52)]
         n = len(ks)
         sc = jnp.asarray(M.pad_scalars(ints_to_limbs(ks), n))
-        dec, neg = G.decompose(params, sc)
+        dec, neg = G.decompose(params, sc)   # (4, 2n) words-leading
         dec = np.asarray(dec)
         neg = np.asarray(neg)
         for i, k in enumerate(ks):
             a1, s1, a2, s2 = params.decompose_host(k)
             for j, (a, s) in enumerate(((a1, s1), (a2, s2))):
-                row = dec[j * n + i]
+                row = dec[:, j * n + i]
                 got = sum(int(w) << (32 * t) for t, w in enumerate(row))
                 assert got == a, (i, j, k)
                 assert int(neg[j * n + i]) == s, (i, j, k)
