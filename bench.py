@@ -1,12 +1,15 @@
 """Benchmark harness: the BASELINE.md ladder as machine-readable JSON.
 
-Emits ONE JSON line per metric. Order is driver-proof (BENCH_r02's
-rc=124 lesson): the END-TO-END PROVE LADDER runs FIRST, ASCENDING —
-a prove line lands within ~2 minutes and every completed size adds a
-rung, so an external kill mid-way keeps the whole ladder below it;
-kernel metrics (MSM points/s, NTT butterflies/s) follow only if the
-self-imposed wall-clock budget has room. The final line repeats the
-headline (largest successful prove) — the driver parses the last line.
+Emits ONE JSON line per metric. Ordering policy (BENCH_r02's rc=124
+lesson + BENCH_r03's starved-2^24 lesson): ONE quick rung first (the
+smallest fixture lands a parseable line within ~2 minutes), then the
+LARGEST fixture immediately — the headline size gets the whole
+remaining budget instead of running last and being starved by the
+intermediate rungs — then the remaining sizes backfill DESCENDING,
+each budget-gated. Kernel metrics (MSM points/s, NTT butterflies/s)
+follow only if the self-imposed wall-clock budget still has room. The
+final line repeats the headline (largest successful prove) — the
+driver parses the last line.
 
 vs_baseline is measured against DOCUMENTED STAND-INS (the reference
 publishes no numbers — BASELINE.md "Stand-in derivation" section pins
@@ -245,15 +248,20 @@ def main():
                 n = int(m.group(1))
                 if n.bit_length() - 1 <= max_logn:
                     sizes.append(n.bit_length() - 1)
-        # order (BENCH_r02's rc=124 lesson, refined again): ASCENDING —
-        # a prove line lands within ~2 min, every completed size adds a
-        # rung, and the headline (largest successful) grows
-        # monotonically, so an external kill mid-2^24 still leaves the
-        # full ladder below it. Kernel metrics only run after the
-        # ladder, and each rung past the first is budget-gated.
-        order = sorted(sizes)
+        # order (BENCH_r03's lesson — ascending starved the headline):
+        # smallest first (a line lands within ~2 min), the LARGEST
+        # second (the headline size gets the remaining budget while it
+        # is still plentiful), then the rest DESCENDING as backfill.
+        # The headline rung runs even when the estimate is tight (a
+        # slow line beats a SKIPPED one); backfill rungs are gated.
+        asc = sorted(sizes)
+        order = asc[:1]
+        if len(asc) > 1:
+            order += [asc[-1]] + asc[-2:0:-1]
         for i, ln in enumerate(order):
-            if i > 0 and _remaining() < _prove_cost_estimate_s(ln):
+            is_headline = len(asc) > 1 and i == 1
+            gate = 0.5 if is_headline else 1.0
+            if i > 0 and _remaining() < gate * _prove_cost_estimate_s(ln):
                 _emit(f"groth16_prove_SKIPPED_2^{ln}", None, "s", None,
                       reason=f"budget: {_remaining():.0f}s left")
                 continue

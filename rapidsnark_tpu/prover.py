@@ -115,7 +115,8 @@ class Prover:
     """
 
     def __init__(self, zkey: ZKey, window_bits: Optional[int] = None,
-                 window_group: Optional[int] = None, mesh=None):
+                 window_group: Optional[int] = None, mesh=None,
+                 segment: Optional[int] = None):
         # NOTE: the zkey is consumed here, not retained — every table is
         # repacked into device arrays / host ints during construction, so
         # the caller may zkey.close() as soon as this returns and the
@@ -142,7 +143,10 @@ class Prover:
                 max(self.domain, self.n_vars), mesh.shape[pmsm.AXIS])
         from . import config
         self.ntt_seq = config.ntt_sequential(self.power)
-        self.segment = config.msm_segment(self.nmax)
+        # API argument wins over the env knob (SURVEY §5.6: explicit
+        # configuration, not process-global mutation)
+        self.segment = (segment if segment is not None
+                        else config.msm_segment(self.nmax))
         if self.segment and self.nmax % self.segment:
             self.segment = 0  # odd sizes: fall back to whole-axis scan
         self.c_bits = (window_bits or config.window_bits()

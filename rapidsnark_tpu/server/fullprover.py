@@ -56,28 +56,25 @@ def circuit_name(path: str) -> str:
 class FullProver:
     def __init__(self, zkey_files: Sequence[str], build_dir: str = "./build",
                  window_bits: Optional[int] = None, mesh=None,
-                 witness_generator: Optional[Callable] = None):
+                 witness_generator: Optional[Callable] = None,
+                 defer_load: bool = False):
         """witness_generator(circuit, input_json_path, wtns_path) overrides
-        the subprocess convention (tests / non-circom deployments)."""
-        from ..io.zkey import read_zkey
-        from ..prover import Prover
+        the subprocess convention (tests / non-circom deployments).
 
+        defer_load=True leaves the zkey registry empty with
+        status=initializing; call load() to populate it — the HTTP
+        front-end uses this so /status answers while a multi-GB
+        registry uploads (the reference signals init only via logs,
+        fullprover.cpp:21-62, because pistache starts after the
+        constructor; a live /status during init is strictly better)."""
         self._lock = threading.RLock()
         self._build_dir = build_dir
         self._witness_generator = witness_generator
+        self._zkey_files = list(zkey_files)
+        self._window_bits = window_bits
+        self._mesh = mesh
 
         self.provers: Dict[str, Prover] = {}
-        for path in zkey_files:
-            name = circuit_name(path)
-            zkey = read_zkey(path)
-            if zkey.r != R_FR:
-                raise ValueError("zkey curve not supported")  # :35-37
-            self.provers[name] = Prover(zkey, window_bits=window_bits,
-                                        mesh=mesh)
-            # the Prover repacked every table; release the file map now
-            # (a long-lived service does not hold one map per circuit)
-            zkey.close()
-
         self._pending_input = ""
         self._pending_circuit = ""
         self._executing_input = ""
@@ -86,7 +83,30 @@ class FullProver:
         self._err_string = ""
         self._proof = None
         self._pub_data = []
-        self.status = Status.ready
+        self.status = Status.initializing
+        if not defer_load:
+            self.load()
+
+    def load(self) -> None:
+        """Populate the zkey registry, then flip initializing -> ready
+        (fullprover.cpp:21-62 constructor body). Prove requests that
+        arrived during init stay pending and start here."""
+        from ..io.zkey import read_zkey
+        from ..prover import Prover
+
+        for path in self._zkey_files:
+            name = circuit_name(path)
+            zkey = read_zkey(path)
+            if zkey.r != R_FR:
+                raise ValueError("zkey curve not supported")  # :35-37
+            self.provers[name] = Prover(zkey, window_bits=self._window_bits,
+                                        mesh=self._mesh)
+            # the Prover repacked every table; release the file map now
+            # (a long-lived service does not hold one map per circuit)
+            zkey.close()
+        with self._lock:
+            self.status = Status.ready
+            self._check_pending()
 
     # -- API (proverapi.cpp routes call these) -------------------------------
 
@@ -124,13 +144,17 @@ class FullProver:
                 st["pubData"] = json.dumps(self._pub_data)
             elif self.status == Status.busy:
                 st["status"] = "busy"
+            # initializing/uninitialized/unverified fall through to {}
+            # exactly like the reference (no branch, fullprover.cpp:
+            # 216-240) — a poll during registry load gets 200 + {}
             return st
 
     # -- internals -------------------------------------------------------------
 
     def _check_pending(self) -> None:
-        """fullprover.cpp:82-101; caller holds the lock."""
-        if self.status != Status.busy:
+        """fullprover.cpp:82-101; caller holds the lock. A request that
+        arrives during init stays pending until load() completes."""
+        if self.status not in (Status.busy, Status.initializing):
             if self._pending_input and self._pending_circuit:
                 self.status = Status.busy
                 self._executing_input = self._pending_input

@@ -70,7 +70,14 @@ class ProverAPIHandler(BaseHTTPRequestHandler):
                     self._send(400)
                     return None
                 if size == 0:
-                    self.rfile.readline()  # trailing CRLF of last-chunk
+                    # consume optional trailer headers up to the final
+                    # empty line (RFC 9112 §7.1.2) — stopping at one
+                    # readline desyncs the connection for clients that
+                    # send trailers
+                    while True:
+                        t = self.rfile.readline(1024)
+                        if t in (b"\r\n", b"\n", b""):
+                            break
                     break
                 total += size
                 if total > MAX_REQUEST_SIZE:
@@ -117,10 +124,21 @@ def make_server(full_prover: FullProver, port: int,
 
 def serve(zkey_files, port: int, host: str = "0.0.0.0",
           window_bits: Optional[int] = None, build_dir: str = "./build"):
+    """Listener goes up BEFORE the zkey registry loads: a /status poll
+    during a slow multi-GB init answers 200 + {} (the initializing
+    status, fullprover.hpp:14) instead of connection-refused — the
+    reference can't do this (pistache starts after the constructor,
+    main_proofserver.cpp:30-43) and only signals init via logs."""
+    import threading
+
     from ..utils.logger import get_logger
     log = get_logger()
     log.info("Initializing server...")
-    fp = FullProver(zkey_files, build_dir=build_dir, window_bits=window_bits)
+    fp = FullProver(zkey_files, build_dir=build_dir, window_bits=window_bits,
+                    defer_load=True)
     server = make_server(fp, port, host)
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    fp.load()
     log.info("Server ready on port %d...", port)
-    server.serve_forever()
+    th.join()

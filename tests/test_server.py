@@ -193,6 +193,72 @@ def test_http_chunked_body_works_and_cap_enforced(tmp_path):
         server.shutdown()
 
 
+def test_status_during_initializing_and_deferred_start(tmp_path):
+    """defer_load: /status answers {} while the registry loads (the
+    reference's getStatus has no initializing branch, fullprover.cpp:
+    216-240, and its listener isn't even up yet); a prove request that
+    arrives during init stays pending and starts after load()."""
+    fp = FullProver([ZKEY], build_dir=str(tmp_path), window_bits=4,
+                    witness_generator=_fake_witness_gen(),
+                    defer_load=True)
+    assert fp.status == Status.initializing
+    assert fp.get_status() == {}          # exact reference payload
+    fp.start_prove(json.dumps({"a": 2, "b": 3}), "multiplier")
+    time.sleep(0.1)
+    assert fp.status == Status.initializing  # not started during init
+    fp.load()
+    st = _wait_done(fp)
+    assert st["status"] == "success"
+    assert json.loads(st["pubData"]) == ["6"]
+
+
+def test_http_chunked_trailers_consumed(tmp_path):
+    """A chunked body with trailer headers parses and the connection
+    stays in sync for a follow-up request on the same socket."""
+    import socket
+
+    from rapidsnark_tpu.server.http import make_server
+
+    fp = FullProver([ZKEY], build_dir=str(tmp_path),
+                    window_bits=4, witness_generator=_fake_witness_gen())
+    server = make_server(fp, 0, host="127.0.0.1")
+    host, port = server.server_address[:2]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        body = json.dumps({"a": 6, "b": 7}).encode()
+        req = (b"POST /input/multiplier HTTP/1.1\r\n"
+               b"Host: t\r\nTransfer-Encoding: chunked\r\n"
+               b"Trailer: X-Checksum\r\n\r\n"
+               + hex(len(body))[2:].encode() + b"\r\n" + body + b"\r\n"
+               b"0\r\nX-Checksum: abc\r\nX-Other: d\r\n\r\n")
+        with socket.create_connection((host, port), timeout=10) as s:
+            s.sendall(req)
+            s.settimeout(10)
+            out = b""
+            while b"\r\n\r\n" not in out:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                out += chunk
+            assert out.startswith(b"HTTP/1.1 200")
+            # same socket, second request: desyncs if trailers weren't
+            # consumed (they'd be parsed as this request line)
+            s.sendall(b"GET /status HTTP/1.1\r\nHost: t\r\n\r\n")
+            out2 = b""
+            while b"\r\n\r\n" not in out2:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                out2 += chunk
+            assert out2.startswith(b"HTTP/1.1 200")
+        st = _wait_done(fp)
+        assert st["status"] == "success"
+        assert json.loads(st["pubData"]) == ["42"]
+    finally:
+        server.shutdown()
+
+
 def test_http_routes(tmp_path):
     from rapidsnark_tpu.server.http import make_server
 
