@@ -277,6 +277,175 @@ def ntt_butterfly(lo, hi, tw, dif: bool):
     return (out[0][:, :n].reshape(shape), out[1][:, :n].reshape(shape))
 
 
+# ---------------------------------------------------------------------------
+# whole-transform pass fusion (round 4)
+#
+# The per-stage butterfly kernels above pay, for EVERY stage, a full
+# HBM round trip PLUS the surrounding XLA copies (the (…, nblk, 2,
+# half) slice/stack relayouts cannot fuse into a pallas_call's opaque
+# operands) — measured ~50 GB/s effective at 2^20, 6% of HBM peak.
+# ntt_fused_pass runs a GROUP of stages on a (16, BM, 8, Cp) VIEW of
+# the flat poly in ONE kernel: the 8-extent second-minor axis carries
+# up to 3 "row" stages (global halves 2^k * Cp, k = 0..2) as sublane
+# slice/concat butterflies, and — when Cp == blk — all lane stages ride
+# along (splits for half >= 128, rolls below). Between passes only
+# free reshape views happen (minor dim stays >= 128-aligned, second-
+# minor a multiple of 8, so the (8, 128) tiling is unchanged).
+# Twiddles arrive as PRE-SLICED tables (tw[:, ::stride][:, :half]
+# reshaped per kind), so the kernel does exactly one mont_mul per
+# stage over half (split/axis forms) or all (roll form) elements.
+# ---------------------------------------------------------------------------
+
+def _bf(lo, hi, tw, dif: bool):
+    from .field import FR
+    if dif:
+        return FR.add(lo, hi), FR.mul(tw, FR.sub(lo, hi))
+    m = FR.mul(tw, hi)
+    return FR.add(lo, m), FR.sub(lo, m)
+
+
+def _axis_butterfly(v, tw, k: int, dif: bool):
+    """Butterfly along the 8-extent axis of v: (16, 8, blk); partner
+    distance d = 2^k sublanes. tw: (16, 2^k, blk) = w^(stride*(u*Cp+c))
+    sliced for this lane block."""
+    import jax.numpy as jnp
+    d = 1 << k
+    g = 8 // (2 * d)
+    los = jnp.concatenate(
+        [v[:, j * 2 * d: j * 2 * d + d] for j in range(g)], axis=1)
+    his = jnp.concatenate(
+        [v[:, j * 2 * d + d: (j + 1) * 2 * d] for j in range(g)], axis=1)
+    twb = jnp.tile(tw, (1, g, 1)) if g > 1 else tw
+    nlo, nhi = _bf(los, his, twb, dif)
+    return jnp.concatenate(
+        [jnp.concatenate([nlo[:, j * d:(j + 1) * d],
+                          nhi[:, j * d:(j + 1) * d]], axis=1)
+         for j in range(g)], axis=1)
+
+
+def _lane_split_butterfly(v, tw, half: int, dif: bool):
+    """Butterfly within lanes, half >= 128 (minor reshape stays
+    tile-aligned). v: (16, 8, blk); tw: (16, blk) tiled pattern."""
+    import jax.numpy as jnp
+    blk = v.shape[-1]
+    nb = blk // (2 * half)
+    u = v.reshape(16, 8, nb, 2, half)
+    lo, hi = u[..., 0, :], u[..., 1, :]
+    twl = tw[:, :half].reshape(16, 1, 1, half)
+    nlo, nhi = _bf(lo, hi, jnp.broadcast_to(twl, lo.shape), dif)
+    return jnp.stack([nlo, nhi], axis=-2).reshape(16, 8, blk)
+
+
+def _lane_roll_butterfly(v, tw, half: int, dif: bool):
+    """Butterfly within lanes, half < 128: roll form (a sub-tile minor
+    reshape would relayout); the twiddle mul runs on ALL lanes."""
+    import jax
+    import jax.numpy as jnp
+    from .field import FR
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (v.shape[-1],), 0)
+    bit = ((lane & half) != 0)[(None,) * 2]
+    # FieldOps.mul sizes its CIOS state from the FIRST operand's batch:
+    # broadcast the twiddle row up front
+    twb = jnp.broadcast_to(tw[:, None], v.shape)
+    if dif:
+        return jnp.where(
+            bit,
+            FR.mul(twb, FR.sub(jnp.roll(v, half, axis=-1), v)),
+            FR.add(v, jnp.roll(v, -half, axis=-1)))
+    m = FR.mul(twb, v)
+    return jnp.where(
+        bit,
+        FR.sub(jnp.roll(v, half, axis=-1), m),
+        FR.add(v, jnp.roll(m, -half, axis=-1)))
+
+
+def ntt_fused_pass(x4, stages, dif: bool, pre_mul=None):
+    """Run `stages` (execution-ordered) in ONE kernel over
+    x4: (16, BM, 8, Cp) u32. Stage descriptors (built by
+    ops/ntt._fused_descs):
+
+      {"kind": "axis",  "k": 0..2, "tw": (16, 2^k, Cp)}
+      {"kind": "split", "half": >=128, "tw": (16, blk) tiled}
+      {"kind": "roll",  "half": <128,  "tw": (16, blk) tiled}
+
+    pre_mul: optional (rows, M, 8, Cp) table (rows 8 = packed pairs)
+    multiplied in BEFORE the butterflies — the coset-shift fold; its M
+    axis is indexed modulo M (batch polys share the table).
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .field import FR
+    from .msm import unpack_limb_rows
+
+    BM, Cp = x4.shape[1], x4.shape[3]
+    blk = min(int(os.environ.get("RSTPU_NTT_BLOCK", 2048)), Cp)
+    assert Cp % blk == 0
+    has_lane = any(s["kind"] != "axis" for s in stages)
+    assert not (has_lane and blk != Cp), "lane stages need blk == Cp"
+    nst = len(stages)
+
+    def kernel(*refs):
+        i = 0
+        pm_ref = None
+        if pre_mul is not None:
+            pm_ref = refs[0]
+            i = 1
+        x_ref = refs[i]
+        tw_refs = refs[i + 1: i + 1 + nst]
+        o_ref = refs[-1]
+        v = x_ref[:][:, 0]                       # (16, 8, blk)
+        with _kernel_ctx():
+            if pm_ref is not None:
+                pm = pm_ref[:][:, 0]
+                v = FR.mul(v, unpack_limb_rows(pm) if pm.shape[0] == 8
+                           else pm)
+            for s, tr in zip(stages, tw_refs):
+                tw = tr[:]
+                if s["kind"] == "axis":
+                    v = _axis_butterfly(v, tw, s["k"], dif)
+                elif s["kind"] == "split":
+                    v = _lane_split_butterfly(v, tw[:, 0], s["half"], dif)
+                else:
+                    v = _lane_roll_butterfly(v, tw[:, 0], s["half"], dif)
+        o_ref[:] = v[:, None]
+
+    x_spec = pl.BlockSpec((16, 1, 8, blk), lambda i, j: (0, i, 0, j),
+                          memory_space=pltpu.VMEM)
+    in_specs = []
+    args = []
+    if pre_mul is not None:
+        M = pre_mul.shape[1]
+        in_specs.append(pl.BlockSpec(
+            (pre_mul.shape[0], 1, 8, blk),
+            lambda i, j, M=M: (0, i % M, 0, j),
+            memory_space=pltpu.VMEM))
+        args.append(pre_mul)
+    in_specs.append(x_spec)
+    args.append(x4)
+    for s in stages:
+        if s["kind"] == "axis":
+            d = s["tw"].shape[1]
+            in_specs.append(pl.BlockSpec(
+                (16, d, blk), lambda i, j: (0, 0, j),
+                memory_space=pltpu.VMEM))
+            args.append(s["tw"])
+        else:
+            in_specs.append(pl.BlockSpec(
+                (16, 1, blk), lambda i, j: (0, 0, 0),
+                memory_space=pltpu.VMEM))
+            args.append(s["tw"][:, None])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(BM, Cp // blk),
+        in_specs=in_specs,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x4.shape, jnp.uint32),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+
+
 def ntt_tail(x, tws_by_half, dif: bool):
     """ALL butterfly stages with half < 128 fused into ONE kernel.
 

@@ -160,13 +160,122 @@ def _tail_tws(tw, n: int, k: int):
             for s in range(k)}
 
 
-def _stages_dit(x, tw):
-    """Decimation-in-time stages: BIT-REVERSED input -> natural output.
-    x: (16, *batch, N); tw: (16, N/2) Montgomery twiddles. half<128
-    stages run fused in one VMEM kernel; the rest are one fused
-    butterfly kernel over n/2 lanes each (ops/fused.py)."""
+# --- whole-transform pass fusion (round 4) ---------------------------------
+# All log2(N) butterfly stages run in ceil((logN - _CB) / 3) fused
+# Pallas passes (ops/fused.ntt_fused_pass): the bottom pass carries the
+# _CB lane stages plus 3 "row" stages along an 8-extent second-minor
+# axis; every further pass carries up to 3 more row stages on a free
+# reshape VIEW (minor dim stays >= 2^_CB, second-minor is always 8, so
+# the (8, 128) tiling never relayouts). At 2^22 this is 4 HBM round
+# trips per transform instead of 15 stage kernels + their slice/stack
+# copies. The per-stage path below remains for small N / the fallback.
+
+_CB = 11  # lane bits per fused bottom pass (Cp = 2048 lanes)
+
+
+def _fuse_enabled(n: int) -> bool:
+    import os
+    v = os.environ.get("RSTPU_NTT_FUSE")
+    if v is not None:
+        return v != "0"
+    from . import fused
+    return fused.enabled() and n >= (1 << (_CB + 3))
+
+
+def _fuse_groups(logn: int):
+    """Bottom-up (axis_offset, [stage bits]) groups covering bits
+    _CB..logn-1; bits below _CB ride the bottom pass as lane stages.
+    A ragged top group reuses the axis at logn-3 (its lower bits are
+    simply not touched)."""
+    groups = []
+    lo = _CB
+    while lo + 3 <= logn:
+        groups.append((lo, [lo, lo + 1, lo + 2]))
+        lo += 3
+    if lo < logn:
+        groups.append((logn - 3, list(range(lo, logn))))
+    return groups
+
+
+def _axis_desc(tw, n, bit, offset):
+    h = 1 << bit
+    s = n // (2 * h)
+    k = bit - offset
+    t = _unpack_rows(tw[:, ::s][:, :h])
+    return {"kind": "axis", "k": k,
+            "tw": t.reshape(16, 1 << k, 1 << offset)}
+
+
+def _lane_desc(tw, n, bit, blk):
+    h = 1 << bit
+    s = n // (2 * h)
+    t = _unpack_rows(tw[:, ::s][:, :h])
+    return {"kind": "split" if h >= 128 else "roll", "half": h,
+            "tw": jnp.tile(t, (1, blk // h))}
+
+
+def _fused_transform(x, tw, dif: bool, pre_mul=None):
+    """x: (16, *batch, N); pre_mul: optional (rows, N) table folded in
+    elementwise before the first executed stage (DIT only — the coset
+    shift fold; rows == 8 means packed pairs)."""
     from . import fused
     n = x.shape[-1]
+    logn = n.bit_length() - 1
+    bshape = x.shape[1:-1]
+    b = 1
+    for d in bshape:
+        b *= d
+    flat = x.reshape(16, b, n)
+    tw = jnp.asarray(tw)
+    groups = _fuse_groups(logn)
+    cp = 1 << _CB
+
+    def bottom_descs():
+        bits = groups[0][1]
+        lanes = list(range(_CB))
+        if dif:
+            return ([_axis_desc(tw, n, bb, _CB)
+                     for bb in sorted(bits, reverse=True)]
+                    + [_lane_desc(tw, n, bb, cp)
+                       for bb in sorted(lanes, reverse=True)])
+        return ([_lane_desc(tw, n, bb, cp) for bb in sorted(lanes)]
+                + [_axis_desc(tw, n, bb, _CB) for bb in sorted(bits)])
+
+    def run(flat, o, descs, pm=None):
+        v = flat.reshape(16, b * (n >> (o + 3)), 8, 1 << o)
+        if pm is not None:
+            pm = pm.reshape(pm.shape[0], n >> (_CB + 3), 8, cp)
+        v = fused.ntt_fused_pass(v, descs, dif, pre_mul=pm)
+        return v.reshape(16, b, n)
+
+    if dif:
+        for o, bits in reversed(groups[1:]):
+            flat = run(flat, o, [_axis_desc(tw, n, bb, o)
+                                 for bb in sorted(bits, reverse=True)])
+        flat = run(flat, _CB, bottom_descs())
+    else:
+        flat = run(flat, _CB, bottom_descs(), pm=pre_mul)
+        for o, bits in groups[1:]:
+            flat = run(flat, o, [_axis_desc(tw, n, bb, o)
+                                 for bb in sorted(bits)])
+    return flat.reshape(x.shape)
+
+
+def _stages_dit(x, tw, pre_mul=None):
+    """Decimation-in-time stages: BIT-REVERSED input -> natural output.
+    x: (16, *batch, N); tw: (16, N/2) Montgomery twiddles. Fused-pass
+    path for N >= 2^14 on TPU; otherwise half<128 stages run fused in
+    one VMEM kernel and the rest are one butterfly kernel each.
+    pre_mul: optional (rows, N) elementwise factor applied first (the
+    coset pipeline's shift, folded into the first kernel pass)."""
+    from . import fused
+    n = x.shape[-1]
+    if _fuse_enabled(n):
+        return _fused_transform(x, tw, dif=False, pre_mul=pre_mul)
+    if pre_mul is not None:
+        shift = jnp.broadcast_to(_unpack_rows(pre_mul).reshape(
+            (16,) + (1,) * (x.ndim - 2) + (n,)), x.shape)
+        x = FR.mul(x, shift)
     logn = n.bit_length() - 1
     tw = jnp.asarray(tw)
     k0 = _tail_stages(n)
@@ -184,6 +293,8 @@ def _stages_dif(x, tw):
     permutations at all (the coset pipeline below)."""
     from . import fused
     n = x.shape[-1]
+    if _fuse_enabled(n):
+        return _fused_transform(x, tw, dif=True)
     logn = n.bit_length() - 1
     tw = jnp.asarray(tw)
     k0 = _tail_stages(n)
@@ -243,6 +354,10 @@ def to_odd_coset(x, arrays, eta: int = 0):
         x = FR.mul(x, shift)
         return ntt(x, arrays)
     x = _stages_dif(x, arrays["inv_tw"])
+    if _fuse_enabled(n):
+        # the shift mul rides the DIT's first fused pass as a pre_mul
+        # input — no separate full-width round trip, no chunking
+        return _stages_dit(x, arrays["fwd_tw"], pre_mul=shift_br)
     ch = 1 << 22
     if x.ndim == 2 and n > ch:
         # chunk the full-width shift mul — at 2^24 one (16, N) mont_mul
