@@ -184,11 +184,13 @@ def bench_ntt(log_n: int, reps: int):
 
     # fetch a small output slice: it blocks on the whole transform
     # finishing but moves KBs, not the full (16,3,N) tensor — on the
-    # tunneled backend a 192 MB fetch costs ~25 s and would dominate
-    fn = jax.jit(lambda v: to_odd_coset(v, arrays, plan.eta)[:, :, :128])
+    # tunneled backend a 192 MB fetch costs ~25 s and would dominate.
+    # Twiddles ride as jit ARGUMENTS (a closure would bake them as
+    # ~128 MB of HLO constants and blow the remote-compile request).
+    fn = jax.jit(lambda v, t: to_odd_coset(v, t, plan.eta)[:, :, :128])
 
     def run():
-        return np.asarray(fn(x))
+        return np.asarray(fn(x, arrays))
 
     run()
     times = []
@@ -225,7 +227,7 @@ def _prove_cost_estimate_s(log_n: int) -> float:
 
 
 def main():
-    log_n = int(os.environ.get("RSTPU_BENCH_LOGN", "18"))
+    log_n = int(os.environ.get("RSTPU_BENCH_LOGN", "20"))
     reps = int(os.environ.get("RSTPU_BENCH_REPS", "2"))
     max_logn = int(os.environ.get("RSTPU_BENCH_MAX_LOGN", "24"))
     c_env = os.environ.get("RSTPU_BENCH_WINDOW")

@@ -27,8 +27,19 @@ def window_bits() -> Optional[int]:
     return _int_env("RSTPU_WINDOW_BITS")
 
 
-def window_group() -> int:
-    return _int_env("RSTPU_WINDOW_GROUP") or 5
+def window_group(n: int = 0) -> int:
+    """Windows batched per MSM scan step. The scan's all-positions
+    prefix output is ~192 B per (point, window-in-group, msm-row):
+    shrinking the group at big domains cuts that footprint linearly
+    while total scan/sort/gather work stays ∝ nwin (G only sets how
+    the window passes are batched) — which lets the SEGMENT grow and
+    the per-slice extraction count drop (msm_segment below)."""
+    v = _int_env("RSTPU_WINDOW_GROUP")
+    if v is not None:
+        return v
+    if n >= (1 << 23):
+        return 2
+    return 5
 
 
 def ntt_sequential(power: int) -> bool:
@@ -50,8 +61,10 @@ def msm_segment(n: int) -> int:
     v = _int_env("RSTPU_MSM_SEGMENT")
     if v is not None:
         return v
-    if n >= (1 << 24):
-        return 1 << 19   # 2^24 tables leave <2 GB for the scan set
+    # with window_group=2 at 2^23+ the within-array is 192*G*rows bytes
+    # per point: segment 2^20 holds ~0.8 GB next to the resident 2^24
+    # tables (vs round-3's G=5/2^19 = same footprint, 4x the slices and
+    # 4x the per-slice extraction passes)
     return (1 << 20) if n > (1 << 21) else 0
 
 

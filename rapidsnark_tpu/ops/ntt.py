@@ -170,7 +170,14 @@ def _tail_tws(tw, n: int, k: int):
 # trips per transform instead of 15 stage kernels + their slice/stack
 # copies. The per-stage path below remains for small N / the fallback.
 
-_CB = 11  # lane bits per fused bottom pass (Cp = 2048 lanes)
+# lane bits per fused bottom pass (Cp = 2^_CB lanes). The bottom pass
+# holds ~11 full-width (16, 8, Cp) mont_mul temporaries live at once:
+# Cp = 2048 needs ~42 MB of scoped VMEM and FAILS Mosaic's 16 MB limit
+# on v5e (measured round 4); Cp = 512 fits (~10 MB) at the cost of one
+# extra axis pass per transform.
+import os as _os
+
+_CB = int(_os.environ.get("RSTPU_NTT_CB", "9"))
 
 
 def _fuse_enabled(n: int) -> bool:

@@ -151,7 +151,7 @@ class Prover:
             self.segment = 0  # odd sizes: fall back to whole-axis scan
         self.c_bits = (window_bits or config.window_bits()
                        or MSM.best_window_bits(self.nmax, self.segment))
-        self.window_group = window_group or config.window_group()
+        self.window_group = window_group or config.window_group(self.nmax)
 
         # --- device point tables: PACKED affine, G1 stacked (8, 4, nmax)
         # The zkey's on-disk u32 words ARE the packed device layout (two

@@ -52,7 +52,9 @@ def batch_inv(vals, mod):
 
 _WBITS = 4      # fixed-base window width
 _NWIN = 64      # 256 / _WBITS
-_CH = 1 << 17   # scalars per device chunk
+# scalars per device chunk; bigger chunks amortize per-chunk host work
+# and device launch overheads (RSTPU_GEN_CHUNK_BITS re-tunes)
+_CH = 1 << int(os.environ.get("RSTPU_GEN_CHUNK_BITS", "18"))
 
 
 def _ints_to_words_np(chunk):
@@ -289,6 +291,7 @@ def device_fixed_base_g1(scalars) -> np.ndarray:
     pack = _affine_pack_g1_fn()
 
     out = []
+    t0 = time.time()
     for lo in range(0, len(scalars), _CH):
         chunk = scalars[lo:lo + _CH]
         b = len(chunk)
@@ -297,6 +300,10 @@ def device_fixed_base_g1(scalars) -> np.ndarray:
         x, y, z = fn(jnp.asarray(_ints_to_words_np(chunk)), tx, ty)
         zinv = _batch_zinv(_zsel_fn()(z))
         out.append(np.asarray(pack(x, y, z, zinv))[:b])
+        if os.environ.get("RSTPU_GEN_VERBOSE"):
+            print(f"  g1 chunk {lo // _CH + 1}/"
+                  f"{-(-len(scalars) // _CH)}: "
+                  f"{time.time() - t0:.1f}s cum", flush=True)
     return np.concatenate(out, axis=0)
 
 
