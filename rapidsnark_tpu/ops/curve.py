@@ -279,6 +279,107 @@ class ProjCurveOps(CurveOps):
     def double(self, p: Point) -> Point:
         return self.add(p, p)
 
+    # -- relaxed (lazy-reduction) group law: coords in [0, 2p] ------------------
+    # Same RCB formulas with the field ops' relaxed family
+    # (ops/field.py "relaxed domain"): muls skip the final conditional
+    # subtraction, linear chains run as deferred raw limb adds resolved
+    # once, and every named value re-enters [0, 2p] with ONE
+    # cond_sub_2p. Residues are exact; representatives are not
+    # canonical, so consumers must reduce mod p before comparing
+    # (the host combine does: prover.py / utils/points int conversion).
+    # G1 only (b3 = 9; self.f a base FieldOps): the Fq2 adder keeps the
+    # canonical path — its Karatsuba interior sums break the <= 2p
+    # bound algebra and the measured G2 upside is marginal.
+    #
+    # Value-bound ledger (units of p; mul(a<=A*p, b<=B*p) <= (kAB+1)p
+    # with k = p/2^256 = 0.18903; asserts at the bottom of
+    # ops/field.py pin the two tight cases exactly):
+    #   stage-A products of <=2p coords:            <= 1.757p
+    #   t3/t4/t5 = deferred pair sums -> dadd_rx:   <= 2p
+    #   t0_3 = 3*t0 deferred (<= 5.27p < 2^256):    resolve+cs2p <= 3.27p
+    #   b3 terms: const mont-mul by 9R (< p):       <= 1.757p
+    #   stage-B products (partners <= 2p | 3.27p):  <= 2.24p
+    #   outputs x3/y3/z3: add/sub_rx of the above:  <= 2p
+
+    def _b3_const(self, shape):
+        f = self.f
+        return f.const(9 * f.r1 % f.modulus, shape)
+
+    def add_rx(self, p: Point, q: Point) -> Point:
+        """Complete add, relaxed: coords of BOTH operands <= 2p."""
+        f = self.f
+        x1, y1, z1 = p
+        x2, y2, z2 = q
+        mm = lambda prs: f.mul_many(prs, cond_sub=False)  # noqa: E731
+        t0, t1, t2, u0, u1, v0, v1, w0, w1 = mm([
+            (x1, x2), (y1, y2), (z1, z2),
+            (x1, y2), (y1, x2),            # t3 = X1Y2 + X2Y1, direct:
+            (y1, z2), (z1, y2),            # the Karatsuba form's interior
+            (x1, z2), (z1, x2),            # sums break the 2p ledger
+        ])
+        t3 = f.dadd_rx(u0 + u1, 3.52)
+        t4 = f.dadd_rx(v0 + v1, 3.52)
+        t5 = f.dadd_rx(w0 + w1, 3.52)
+        c9 = self._b3_const(_shape_of(t2))
+        t2b, y3b = mm([(t2, c9), (t5, c9)])          # <= 1.757p
+        t0_3 = f.cond_sub_2p(FF._resolve_wide(t0 + t0 + t0))  # <= 3.27p
+        z3 = f.add_rx(t1, t2b)
+        t1m = f.sub_rx(t1, t2b)
+        m1, m2, m3, m4, m5, m6 = mm([
+            (t4, y3b), (t3, t1m), (y3b, t0_3),
+            (t1m, z3), (t0_3, t3), (z3, t4),
+        ])
+        return (f.sub_rx(m2, m1), f.add_rx(m4, m3),
+                f.cond_sub_2p(FF._resolve_wide(m6 + m5)))
+
+    def add_mixed_rx(self, p: Point, q) -> Point:
+        """Jacobian(<=2p) + CANONICAL affine (x2, y2 < p; (0,0) = inf),
+        relaxed. The affine operand tightens the stage-A bounds
+        (products <= 1.38p), so t0_3 <= 4.14p still resolves exactly."""
+        f = self.f
+        x1, y1, z1 = p
+        x2, y2 = q
+        mm = lambda prs: f.mul_many(prs, cond_sub=False)  # noqa: E731
+        c9 = self._b3_const(_shape_of(x1))
+        t0, t1, u0, u1, t4a, y3a, t2b = mm([
+            (x1, x2), (y1, y2),
+            (x1, y2), (y1, x2),
+            (y2, z1), (x2, z1),
+            (z1, c9),
+        ])
+        t3 = f.dadd_rx(u0 + u1, 2.76)
+        t4 = f.dadd_rx(t4a + y1, 3.38)
+        y3l = f.dadd_rx(y3a + x1, 3.38)
+        t0_3 = f.cond_sub_2p(FF._resolve_wide(t0 + t0 + t0))  # <= 2.14p
+        y3b = f.mul(y3l, c9, cond_sub=False)                  # <= 1.38p
+        z3 = f.add_rx(t1, t2b)
+        t1m = f.sub_rx(t1, t2b)
+        m1, m2, m3, m4, m5, m6 = mm([
+            (t4, y3b), (t3, t1m), (y3b, t0_3),
+            (t1m, z3), (t0_3, t3), (z3, t4),
+        ])
+        out = (f.sub_rx(m2, m1), f.add_rx(m4, m3), f.add_rx(m6, m5))
+        q_inf = f.is_zero(x2) & f.is_zero(y2)
+        return self.select(q_inf, p, out)
+
+    def neg_rx(self, p: Point) -> Point:
+        return (p[0], self.f.neg_rx(p[1]), p[2])
+
+
+def relaxed_for(curve) -> bool:
+    """Whether the MSM pipeline should run `curve`'s group law in the
+    relaxed [0, 2p] domain (RSTPU_RELAXED=0 disables). G1 only: the Fq2
+    Karatsuba interior sums break the 2p bound ledger and the measured
+    G2 upside is marginal. Consumers of relaxed results must reduce
+    mod p before comparing representatives (the prover's host combine
+    does; ops/msm window totals are equal only as residues)."""
+    import os
+    if not isinstance(curve, ProjCurveOps) or isinstance(curve.f, Fq2Ops):
+        return False
+    if curve.b3_mont is not None or curve.b3_small is not None:
+        return False  # add_rx hard-codes the G1 b3 = 9 constant
+    return os.environ.get("RSTPU_RELAXED", "1") != "0"
+
 
 def _tree_stack_leaves(elems):
     if isinstance(elems[0], tuple):

@@ -172,6 +172,17 @@ class FieldOps:
         notp = [(MASK ^ v) for v in self.p_int]
         notp[0] += 1  # p is odd, so no limb overflow
         self._notp1_np = notp
+        # relaxed-domain constants (values live in [0, 2p]; see the
+        # mul/add_rx family below): 2p fits 16 limbs since p < 2^255
+        p2 = 2 * modulus
+        self._p2_np = [(p2 >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS)]
+        notp2 = [(MASK ^ v) for v in self._p2_np]
+        notp2[0] += 1  # (may be 2^16 when 2p's limb0 is 0: still < 2^17)
+        self._notp2_1np = notp2
+        # a - b + 2p == a + (~b) + (2p + 1) - 2^256 (top carry dropped)
+        p2p1 = p2 + 1
+        self._sub2p_np = [(p2p1 >> (LIMB_BITS * i)) & MASK
+                          for i in range(NLIMBS)]
 
     # -- constants ----------------------------------------------------------
     # Limb constants are built from INLINE SCALARS (stack of immediates),
@@ -254,9 +265,16 @@ class FieldOps:
         return self.add(a, a)
 
     # -- Montgomery multiply -----------------------------------------------------
-    def mul(self, a: Elem, b: Elem, unroll: bool = False) -> Elem:
+    def mul(self, a: Elem, b: Elem, unroll: bool = False,
+            cond_sub: bool = True) -> Elem:
         """mont_mul: a*b*R^-1 mod p. Canonical in, canonical (< p) out.
         Inputs may be lazily reduced (< 2p) as long as limbs are < 2^16.
+
+        cond_sub=False (the relaxed-domain form) skips the final
+        conditional subtraction: output < (a*b/R + p), exact in 16 limbs
+        whenever a*b < R*(R - p) — i.e. alpha*beta <= 22.7 for inputs
+        bounded by alpha*p, beta*p. Callers track bounds (ops/curve
+        *_rx formulas carry them as trace-time asserts).
 
         CIOS with a *sliding 17-column window*: at step i the window
         holds columns i..i+16, step i adds the a_i*b partial product and
@@ -311,9 +329,11 @@ class FieldOps:
         cols, carry = state
         res = jnp.concatenate([(cols[0] + carry)[None], cols[1:]], axis=0)
         out = _resolve_wide(res)[:NLIMBS]
+        if not cond_sub:
+            return out
         return self._cond_sub_p(out)
 
-    def mul_many(self, pairs, unroll: bool = False):
+    def mul_many(self, pairs, unroll: bool = False, cond_sub: bool = True):
         """Batch k independent products into ONE mul instantiation.
 
         Graph-size lever for composite formulas (Jacobian add = 6 mul
@@ -321,7 +341,7 @@ class FieldOps:
         """
         a = jnp.stack([p[0] for p in pairs], axis=1)
         b = jnp.stack([p[1] for p in pairs], axis=1)
-        out = self.mul(a, b, unroll=unroll)
+        out = self.mul(a, b, unroll=unroll, cond_sub=cond_sub)
         return [out[:, k] for k in range(len(pairs))]
 
     def add_lazy(self, a: Elem, b: Elem) -> Elem:
@@ -329,6 +349,56 @@ class FieldOps:
         Valid as a `mul` input only (Karatsuba interior sums)."""
         s, _ = _split_resolve(a + b)
         return s
+
+    # -- relaxed (lazy-reduction) domain: values in [0, 2p] ---------------------
+    # The MSM hot path (ops/curve add_*_rx, ops/fused scan kernels) keeps
+    # point coordinates as ANY representative of their residue in
+    # [0, 2p], canonical 16-bit limbs. Montgomery muls then skip the
+    # final conditional subtraction (cond_sub=False): for inputs
+    # a <= alpha*p, b <= beta*p the CIOS output is
+    #     out < (alpha*beta*p/R + 1) * p,   p/R = 0.18903,
+    # so products of [0, 2p] values stay < 1.757p — the domain is closed
+    # under mul with NO canonicalization. Linear ops below re-enter the
+    # domain with ONE conditional subtraction of 2p. Residues are exact
+    # (every value ≡ its canonical counterpart mod p); consumers must
+    # not compare representatives bitwise (host conversions reduce
+    # mod p; see prover host combine).
+
+    def cond_sub_2p(self, s: Elem) -> Elem:
+        """s < 4p, canonical limbs -> (s - 2p if s >= 2p else s) <= 2p."""
+        t = self._limb_add_const(s, self._notp2_1np)
+        red, ge = _resolve_ones(t & MASK, t >> LIMB_BITS)
+        return jnp.where(ge[None], red, s)
+
+    def add_rx(self, a: Elem, b: Elem) -> Elem:
+        """a + b for a, b <= 2p -> <= 2p (sum < 4p, one cond_sub_2p)."""
+        s, _ = _split_resolve(a + b)
+        return self.cond_sub_2p(s)
+
+    def dadd_rx(self, s: Elem, bound_p: float) -> Elem:
+        """Resolve a DEFERRED sum of relaxed values (raw limb adds, each
+        limb < 2^26) and re-enter [0, 2p]. `bound_p` is the trace-time
+        value bound in units of p: the resolve needs < 2^256 = 5.2903p,
+        the cond_sub needs < 4p."""
+        assert bound_p < 4.0, bound_p
+        return self.cond_sub_2p(_resolve_wide(s))
+
+    def sub_rx(self, a: Elem, b: Elem) -> Elem:
+        """a - b (mod p) for a, b <= 2p -> <= 2p.
+
+        a + (~b) + (2p + 1) = (a - b + 2p) + 2^256; the top carry is
+        structurally set (b <= 2p => a - b + 2p >= 0) and dropped by the
+        wide resolve; a - b + 2p < 4p, so one cond_sub_2p lands in
+        [0, 2p]."""
+        s = a + (jnp.uint32(MASK) ^ b)
+        return self.cond_sub_2p(
+            _resolve_wide(self._limb_add_const(s, self._sub2p_np)))
+
+    def neg_rx(self, a: Elem) -> Elem:
+        """2p - a for a <= 2p: the relaxed negation (no cond_sub: the
+        result is <= 2p already; a = 0 maps to the representative 2p)."""
+        return _resolve_wide(self._limb_add_const(
+            jnp.uint32(MASK) ^ a, self._sub2p_np))
 
     def sqr(self, a: Elem) -> Elem:
         return self.mul(a, a)
@@ -377,3 +447,12 @@ from ..ref.field import P as _P, R_FR as _R  # noqa: E402
 
 FQ = FieldOps(_P)
 FR = FieldOps(_R)
+
+# Relaxed-domain safety margins used by ops/curve *_rx formulas (exact
+# integer checks of the bound algebra in the docstrings above):
+#   * deferred 3*t with t a product of two <= 2p values stays < 2^256
+#   * products of two <= 2p values stay <= 2p (domain closure)
+_R256 = 1 << 256
+_MUL22 = 4 * _P * _P // _R256 + _P          # mul bound for <= 2p inputs
+assert 3 * _MUL22 < _R256                   # t0_3 resolve headroom
+assert _MUL22 <= 2 * _P                     # closure under mul

@@ -157,9 +157,14 @@ def _binary(fn, fallback, p, q, n_out_leaves: int, out_tree: bool = False,
 
 
 def add(curve, p, q):
-    """Complete Jacobian add, fused. Falls back below 256 lanes."""
+    """Complete add, fused. Falls back below 256 lanes. Runs the
+    relaxed [0, 2p] group law on G1 (ops/curve.relaxed_for): every
+    caller is inside the MSM pipeline, whose host consumers reduce
+    mod p."""
+    from .curve import relaxed_for
+    fn = curve.add_rx if relaxed_for(curve) else curve.add
     nl = len(_flatten_pt(p)[0])
-    return _binary(curve.add, curve.add, p, q, nl)
+    return _binary(fn, fn, p, q, nl)
 
 
 def add_mixed(curve, p, q):
@@ -178,12 +183,14 @@ def scan_cols_packed(curve, acc, cols):
     vs K separate add_mixed calls: the accumulator stays in VMEM across
     the K adds (no HBM round-trip between steps) and the per-kernel
     launch cost is paid once."""
-    from .curve import _map_leaves
+    from .curve import _map_leaves, relaxed_for
     from .msm import unpack_limb_rows
 
     k = len(cols)
     p_leaves, _ = _flatten_pt(acc)
     out_leaves = len(p_leaves) * k
+    add_mixed = (curve.add_mixed_rx if relaxed_for(curve)
+                 else curve.add_mixed)
 
     def fn(pp, qq):
         outs = []
@@ -193,8 +200,10 @@ def scan_cols_packed(curve, acc, cols):
             x2, y2 = tuple(
                 _map_leaves(c, unpack_limb_rows) for c in coords)
             neg = s[0] != 0
+            # table points are canonical (< p): the plain negation
+            # keeps the affine operand canonical for add_mixed_rx
             y2 = curve.f.select(neg, curve.f.neg(y2), y2)
-            a = curve.add_mixed(a, (x2, y2))
+            a = add_mixed(a, (x2, y2))
             outs.append(a)
         return tuple(outs)
 

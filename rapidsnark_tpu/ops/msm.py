@@ -477,7 +477,9 @@ def _window_group(curve: CurveOps, pts, digits, n: int, c: int):
     top = _pt_map(A, lambda a: jnp.broadcast_to(
         a[..., M:], a.shape[:-1] + (M,)))
     head = _pt_map(A, lambda a: a[..., :M])
-    diff = _add(curve, top, curve.neg(head))
+    from .curve import relaxed_for
+    neg = curve.neg_rx if relaxed_for(curve) else curve.neg
+    diff = _add(curve, top, neg(head))
     return _tree_total(curve, diff, M)
 
 

@@ -1,0 +1,144 @@
+"""Relaxed (lazy-reduction) field/curve ops vs oracles.
+
+The G1 MSM pipeline runs the group law in the [0, 2p] domain
+(ops/field.py "relaxed domain", ops/curve.py add_*_rx): Montgomery muls
+skip the final conditional subtraction and linear chains defer carries.
+Representatives are non-canonical; residues must be EXACT. These tests
+pin: (1) each relaxed field op against the python-int oracle, including
+0 / p / 2p representatives; (2) the relaxed adders against the
+canonical adders as residues (affine-normalized), including doubling,
+inverse (infinity result), affine-infinity operands, and non-canonical
+accumulator representatives; (3) the end-to-end MSM: relaxed vs
+RSTPU_RELAXED=0, bit-identical after host affine normalization.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rapidsnark_tpu.ops.curve import G1P, relaxed_for
+from rapidsnark_tpu.ops.field import FQ
+from rapidsnark_tpu.ref import curve as refc
+from rapidsnark_tpu.ref.field import P
+from rapidsnark_tpu.utils import points as PT
+from rapidsnark_tpu.utils.limbs import ints_to_limbs, limbs_to_ints
+
+R256 = 1 << 256
+
+
+def to_e(vals):
+    return jnp.asarray(ints_to_limbs(list(vals)).T.copy())
+
+
+def from_e(e):
+    return limbs_to_ints(np.asarray(e).T)
+
+
+def affine_col(pt, i):
+    return PT.proj_to_affine_g1(np.asarray(pt[0])[:, i],
+                                np.asarray(pt[1])[:, i],
+                                np.asarray(pt[2])[:, i])
+
+
+def test_relaxed_field_ops_oracle():
+    rng = np.random.RandomState(7)
+    n = 48
+    a_i = [rng.randint(0, 1 << 62) * (2 * P >> 62) + int(v)
+           for v in rng.randint(0, 1 << 30, n)]
+    b_i = [rng.randint(0, 1 << 62) * (2 * P >> 62) + int(v)
+           for v in rng.randint(0, 1 << 30, n)]
+    a, b = to_e(a_i), to_e(b_i)
+    rinv = pow(R256, -1, P)
+
+    out = from_e(FQ.mul(a, b, cond_sub=False))
+    for i in range(n):
+        assert out[i] % P == a_i[i] * b_i[i] * rinv % P
+        assert out[i] <= 2 * P
+
+    for got, exp in ((from_e(FQ.add_rx(a, b)),
+                      [(x + y) % P for x, y in zip(a_i, b_i)]),
+                     (from_e(FQ.sub_rx(a, b)),
+                      [(x - y) % P for x, y in zip(a_i, b_i)]),
+                     (from_e(FQ.neg_rx(a)), [(-x) % P for x in a_i])):
+        for i in range(n):
+            assert got[i] % P == exp[i] and got[i] <= 2 * P
+
+    # representative edges: 0, p, 2p stay correct through every op
+    z = to_e([0, P, 2 * P, 1])
+    assert [v % P for v in from_e(FQ.neg_rx(z))] == [0, 0, 0, P - 1]
+    c = from_e(FQ.cond_sub_2p(to_e([0, 2 * P, 2 * P + 5, 4 * P - 1])))
+    assert c == [0, 0, 5, 2 * P - 1]
+
+
+def _gen_points(n):
+    pts, p = [], refc.G1_GEN
+    for _ in range(n):
+        pts.append(p)
+        p = refc.G1.add(p, refc.G1_GEN)
+    return pts
+
+
+def test_relaxed_adders_match_canonical():
+    mont = lambda v: v * R256 % P  # noqa: E731
+    pts = _gen_points(8)
+    qts = list(pts)
+    qts[1] = (pts[1][0], P - pts[1][1])      # idx1: P + (-P) = infinity
+    a = (to_e([mont(q[0]) for q in pts]), to_e([mont(q[1]) for q in pts]),
+         to_e([mont(1)] * 8))
+    b = (to_e([mont(q[0]) for q in qts]), to_e([mont(q[1]) for q in qts]),
+         to_e([mont(1)] * 8))
+
+    got, exp = G1P.add_rx(a, b), G1P.add(a, b)
+    for i in range(8):
+        assert affine_col(got, i) == affine_col(exp, i)
+    assert affine_col(got, 0) == refc.G1.add(pts[0], pts[0])  # doubling
+    assert affine_col(got, 1) is None                         # inverse
+
+    # non-canonical accumulator representatives (+p on every coord)
+    ar = (to_e([mont(q[0]) + P for q in pts]),
+          to_e([mont(q[1]) + P for q in pts]), to_e([mont(1) + P] * 8))
+    qaff = (b[0], b[1])
+    gm, em = G1P.add_mixed_rx(ar, qaff), G1P.add_mixed(a, qaff)
+    for i in range(8):
+        assert affine_col(gm, i) == affine_col(em, i)
+
+    # affine infinity (0, 0) operand; relaxed-infinity accumulator
+    zero = to_e([0] * 8)
+    gi = G1P.add_mixed_rx(ar, (zero, zero))
+    for i in range(8):
+        assert affine_col(gi, i) == pts[i]
+    g0 = G1P.add_mixed_rx(G1P.inf((8,)), qaff)
+    for i in range(8):
+        assert affine_col(g0, i) == qts[i]
+
+    ng = G1P.neg_rx(ar)
+    for i in range(8):
+        assert affine_col(ng, i) == (pts[i][0], P - pts[i][1])
+
+
+def test_msm_relaxed_equals_canonical():
+    if not relaxed_for(G1P):
+        pytest.skip("relaxed disabled via RSTPU_RELAXED=0")
+    from rapidsnark_tpu.ops import msm as M
+    from rapidsnark_tpu.utils.points import g1_affine_to_mont_limbs
+
+    n = 512
+    rng = np.random.RandomState(3)
+    pts = _gen_points(64) * (n // 64)
+    arr = np.stack([g1_affine_to_mont_limbs(q) for q in pts])
+    dev = M.prepare_g1(arr)
+    limbs = rng.randint(0, 1 << 16, size=(n, 16)).astype(np.uint32)
+    limbs[:, 15] &= 0x3FFF
+    sc = M.pad_scalars(limbs, M.pad_len(n))
+
+    got = M.msm(G1P, dev, sc, 8)
+    os.environ["RSTPU_RELAXED"] = "0"
+    try:
+        exp = M.msm(G1P, dev, sc, 8)
+    finally:
+        os.environ.pop("RSTPU_RELAXED", None)
+    gxa = PT.proj_to_affine_g1(*(np.asarray(c) for c in got))
+    exa = PT.proj_to_affine_g1(*(np.asarray(c) for c in exp))
+    assert gxa == exa and gxa is not None
