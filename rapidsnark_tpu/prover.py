@@ -60,14 +60,21 @@ def _pad_points(pts: np.ndarray, npad: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("c_bits", "window_group", "segment", "mesh"))
-def _msm_stage(pts_g1, pts_g2, h_row, wit_row, c_row, *, c_bits: int,
+    jax.jit, static_argnames=("c_bits", "window_group", "segment", "mesh"),
+    donate_argnums=(2,))
+def _msm_stage(pts_g1, pts_g2, rows3, *, c_bits: int,
                window_group: int, segment: int, mesh):
     """Stage 2: the five MSMs (groth16.cpp:173-204) — four G1 rides one
     batched call, G2 reuses the witness scalar row. A module-level jit
     keyed ONLY on the MSM config: every circuit with the same
     (nmax, c, G, segment, mesh) shares this compiled executable
-    regardless of its domain/coefficient structure."""
+    regardless of its domain/coefficient structure.
+
+    rows3: ONE (3, nmax, 8) stack [h, wit, c] (built and donated by the
+    front's final stage) — at 2^24 the rows are 1.6 GB, and separate
+    h/wit/c arrays re-stacked here would double that next to the
+    resident tables (the round-4 2^24 OOM)."""
+    h_row, wit_row, c_row = rows3[0], rows3[1], rows3[2]
     if mesh is None:
         if jax.tree.leaves(pts_g1)[0].ndim == 3:
             g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])
@@ -79,10 +86,8 @@ def _msm_stage(pts_g1, pts_g2, h_row, wit_row, c_row, *, c_bits: int,
             # not fit HBM next to the resident 2^23+ tables — run TWO
             # 2-row blocks through ONE lax.map-compiled MSM body
             # ([H,A] with [h,wit], then [B1,C] with [wit,c]); scalar
-            # rows are dynamic 2-slices of ONE (3, nmax, 8) stack so
+            # rows are dynamic 2-slices of the (3, nmax, 8) stack so
             # wit_row is never duplicated
-            rows3 = jnp.stack([h_row, wit_row, c_row])
-
             def blk(args):
                 pts_b, i = args
                 sc = jax.lax.dynamic_slice_in_dim(rows3, i, 2, axis=0)
@@ -371,9 +376,9 @@ class Prover:
         across circuits — front-end changes (domain, coefficient table)
         never recompile the MSMs.
         """
-        h_row, wit_row, c_row = self.front(witness, tables)
+        rows3 = self.front(witness, tables)
         return _msm_stage(tables["pts_g1"], tables["pts_g2"],
-                          h_row, wit_row, c_row, c_bits=self.c_bits,
+                          rows3, c_bits=self.c_bits,
                           window_group=self.window_group,
                           segment=self.segment, mesh=self.mesh)
 
@@ -516,15 +521,16 @@ class Prover:
         return hp
 
     def _rows(self, witness, hp):
-        """Scalar rows for the 5 MSMs (plain LE integers, packed)."""
+        """Scalar rows for the 5 MSMs (plain LE integers, packed) as
+        ONE (3, nmax, 8) stack [h, wit, c] — _msm_stage slices it, so
+        the rows are never re-stacked into a second 1.6 GB buffer at
+        2^24 (the round-4 OOM)."""
         n, nmax = self.domain, self.nmax
-        wit_row = jnp.zeros((nmax, 8), jnp.uint32
-                            ).at[:self.n_vars].set(witness)
-        h_row = jnp.zeros((nmax, 8), jnp.uint32).at[:n].set(hp.T)
-        c_row = jnp.zeros((nmax, 8), jnp.uint32
-                          ).at[:self.n_c].set(
-                              witness[self.n_public + 1:])
-        return h_row, wit_row, c_row
+        rows = jnp.zeros((3, nmax, 8), jnp.uint32)
+        rows = rows.at[0, :n].set(hp.T)
+        rows = rows.at[1, :self.n_vars].set(witness)
+        rows = rows.at[2, :self.n_c].set(witness[self.n_public + 1:])
+        return rows
 
     @functools.partial(jax.jit, static_argnums=0)
     def _front_jit(self, witness, tables):
@@ -545,11 +551,41 @@ class Prover:
     def _coset_jit(self, poly, ntt_tables):
         return to_odd_coset(poly, ntt_tables, self.eta)
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3))
-    def _h_jit(self, a2, b2, c2):
-        return self._h_poly(a2, b2, c2)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _ab_mul_jit(self, a2, b2):
+        """m = a2 * b2, chunked; donating BOTH inputs caps the h-stage
+        peak at one (16, N) poly + chunk temporaries (holding a2, b2,
+        c2 together was ~3 GB of the round-4 2^24 OOM)."""
+        n = self.domain
+        ch = 1 << 22
+        if n > ch:
+            split = jnp.moveaxis(
+                jnp.stack([a2, b2], axis=1).reshape(16, 2, n // ch, ch),
+                2, 0)
+            return jnp.moveaxis(
+                jax.lax.map(lambda p: FR.mul(p[:, 0], p[:, 1]), split),
+                0, 1).reshape(16, n)
+        return FR.mul(a2, b2)
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _h_from_jit(self, m, c2):
+        """hp = pack(fromMontgomery(m - c2)), chunked."""
+        n = self.domain
+
+        def h_of(p):
+            return MSM.pack_limb_rows(FR.from_mont(FR.sub(p[0], p[1])))
+
+        ch = 1 << 22
+        if n > ch:
+            split = jnp.moveaxis(
+                jnp.stack([m, c2], axis=1).reshape(16, 2, n // ch, ch),
+                2, 0)
+            return jnp.moveaxis(
+                jax.lax.map(lambda p: h_of((p[:, 0], p[:, 1])), split),
+                0, 1).reshape(8, n)
+        return h_of((m, c2))
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def _rows_jit(self, witness, hp):
         return self._rows(witness, hp)
 
@@ -562,8 +598,9 @@ class Prover:
         a, b = self._split_ab_jit(ab)
         a2 = self._coset_jit(a, tables["ntt"])
         b2 = self._coset_jit(b, tables["ntt"])
-        c2 = self._coset_jit(cvec, tables["ntt"])
-        hp = self._h_jit(a2, b2, c2)
+        m = self._ab_mul_jit(a2, b2)      # a2/b2 die here, before the
+        c2 = self._coset_jit(cvec, tables["ntt"])  # c transform runs
+        hp = self._h_from_jit(m, c2)
         return self._rows_jit(witness, hp)
 
     # -- public API ----------------------------------------------------------
@@ -624,7 +661,7 @@ class Prover:
                 jax.block_until_ready(rows)  # phase attribution (~ms)
             with phase("msms", self.last_phases):
                 g1w, g2w = _msm_stage(
-                    tables["pts_g1"], tables["pts_g2"], *rows,
+                    tables["pts_g1"], tables["pts_g2"], rows,
                     c_bits=self.c_bits, window_group=self.window_group,
                     segment=self.segment, mesh=self.mesh)
                 # materialize (block_until_ready lies on tunneled backends)

@@ -53,6 +53,7 @@ def main():
     for ln in sorted(sizes):
         path = os.path.join(fixdir, f"sqchain{1 << ln}")
         t0 = time.time()
+        prover = None
         try:
             zkey = read_zkey(path + ".zkey")
             prover = Prover(zkey)
@@ -66,8 +67,10 @@ def main():
             print(f"2^{ln}: warmed in {time.time() - t0:.0f}s "
                   f"phases={phases}", flush=True)
         except Exception as e:  # noqa: BLE001 — report and continue
-            print(f"2^{ln}: FAILED after {time.time() - t0:.0f}s: "
-                  f"{str(e)[:300]}", flush=True)
+            done = dict(prover.last_phases) if prover is not None else {}
+            print(f"2^{ln}: FAILED after {time.time() - t0:.0f}s "
+                  f"(phases completed: {done}): {str(e)[:300]}",
+                  flush=True)
             rc = 1
     return rc
 
