@@ -61,10 +61,13 @@ def msm_segment(n: int) -> int:
     v = _int_env("RSTPU_MSM_SEGMENT")
     if v is not None:
         return v
-    # with window_group=2 at 2^23+ the within-array is 192*G*rows bytes
-    # per point: segment 2^20 holds ~0.8 GB next to the resident 2^24
-    # tables (vs round-3's G=5/2^19 = same footprint, 4x the slices and
-    # 4x the per-slice extraction passes)
+    # the within-array is ~192*G*rows bytes per point (window_group
+    # above shrinks G to 2 at 2^23+). At the 2^24 ceiling even the
+    # G=2/2^20 combination OOMed next to the ~12 GB of resident
+    # tables + scalar-row stack (measured round 4): 2^19 halves the
+    # scan set there; 2^22/2^23 keep the bigger slice.
+    if n >= (1 << 24):
+        return 1 << 19
     return (1 << 20) if n > (1 << 21) else 0
 
 

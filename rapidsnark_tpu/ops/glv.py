@@ -229,9 +229,12 @@ def _abs_tc(x, nl: int):
 
 def decompose(params: GLVParams, scalars: jnp.ndarray):
     """(*b, n, 8) packed u32 256-bit scalars (< r) ->
-    (scalars2 (4, *b, 2n): packed |ki| halves laid out [k1-block |
+    (scalars2 (5, *b, 2n): packed |ki| halves laid out [k1-block |
      k2-block] on the entry axis, WORD AXIS LEADING (|ki| < 2^127 fits
-     4 words; leading-word/minor-n is the TPU-tileable layout),
+     4 words; leading-word/minor-n is the TPU-tileable layout) plus ONE
+     trailing ZERO word row — the pad ops/msm's straddling 2-word
+     digit slices need, emitted here per chunk so the MSM never
+     materializes a second full-size padded copy (1.3 GB at 2^24),
      neg (*b, 2n) uint32 0/1 per-entry sign).
 
     Entry i of the 2n-row maps to table point i mod n (second block =
@@ -281,11 +284,12 @@ def _decompose_core(params: GLVParams, scalars: jnp.ndarray):
     packed, negs = [], []
     for kk in (k1, k2):
         mag, neg = _abs_tc(kk, 11)
-        # word axis LEADING, n minor: (4, *b, n) tiles clean on TPU (a
-        # trailing word axis would lane-pad 4 -> 128, a 32x HBM blowup
-        # on any materializing copy at 2^24)
-        packed.append(jnp.stack(
-            [mag[2 * j] | (mag[2 * j + 1] << 16) for j in range(4)]))
+        # word axis LEADING, n minor: (5, *b, n) tiles clean on TPU (a
+        # trailing word axis would lane-pad 5 -> 128, a 32x HBM blowup
+        # on any materializing copy at 2^24); row 4 is the zero pad
+        rows = [mag[2 * j] | (mag[2 * j + 1] << 16) for j in range(4)]
+        rows.append(jnp.zeros_like(rows[0]))
+        packed.append(jnp.stack(rows))
         negs.append(neg)
-    return (jnp.concatenate(packed, axis=-1),   # (4, *b, 2n)
+    return (jnp.concatenate(packed, axis=-1),   # (5, *b, 2n)
             jnp.concatenate(negs, axis=-1))     # (*b, 2n)

@@ -606,9 +606,7 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     # scale MSM cannot hold the full digit tensor next to the tables)
     carries = signed_digit_carries(scalars, c, bits, lead=glv)
     if glv:
-        s9 = jnp.concatenate(
-            [scalars, jnp.zeros((1,) + scalars.shape[1:], jnp.uint32)],
-            axis=0)
+        s9 = scalars  # decompose already appends the zero pad word row
     else:
         s9 = jnp.concatenate(
             [scalars, jnp.zeros(bshape + (n, 1), jnp.uint32)], axis=-1)

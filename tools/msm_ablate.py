@@ -82,8 +82,7 @@ def main():
     def digits_only(scalars):
         sc, neg = GLV.decompose(params, scalars)
         carries = M.signed_digit_carries(sc, c, bits, lead=True)
-        s9 = jnp.concatenate(
-            [sc, jnp.zeros((1,) + sc.shape[1:], jnp.uint32)], axis=0)
+        s9 = sc  # decompose pads the zero word row
 
         def step(_, ig):
             dg = M.group_signed_digits(s9, carries, ig * G_, G_, c,
@@ -101,9 +100,7 @@ def main():
     def _digit_groups(scalars):
         sc, neg = GLV.decompose(params, scalars)
         carries = M.signed_digit_carries(sc, c, bits, lead=True)
-        s9 = jnp.concatenate(
-            [sc, jnp.zeros((1,) + sc.shape[1:], jnp.uint32)], axis=0)
-        return s9, carries, neg
+        return sc, carries, neg
 
     @jax.jit
     def sort_only(scalars):
