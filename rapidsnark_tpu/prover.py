@@ -81,23 +81,8 @@ def _msm_stage(pts_g1, pts_g2, rows3, *, c_bits: int,
             g1w = MSM.msm(G1P, pts_g1, g1_sc, c_bits, window_group,
                           combine=False, segment=segment)
         else:
-            # blocked tables (2, 8, 2, nmax), config.g1_blocked: the
-            # 4-row batch's scan working set + scalar-side buffers do
-            # not fit HBM next to the resident 2^23+ tables — run TWO
-            # 2-row blocks through ONE lax.map-compiled MSM body
-            # ([H,A] with [h,wit], then [B1,C] with [wit,c]); scalar
-            # rows are dynamic 2-slices of the (3, nmax, 8) stack so
-            # wit_row is never duplicated
-            def blk(args):
-                pts_b, i = args
-                sc = jax.lax.dynamic_slice_in_dim(rows3, i, 2, axis=0)
-                return MSM.msm(G1P, pts_b, sc, c_bits, window_group,
-                               combine=False, segment=segment)
-
-            out = jax.lax.map(blk, (pts_g1, jnp.arange(2)))
-            g1w = jax.tree.map(
-                lambda a: jnp.moveaxis(a, 0, 2).reshape(
-                    a.shape[1], a.shape[2], 4), out)
+            g1w = _g1_blocked_body(pts_g1, rows3, c_bits, window_group,
+                                   segment)
         g2w = MSM.msm(G2P, pts_g2, wit_row[None], c_bits, window_group,
                       combine=False, segment=segment)
     else:
@@ -110,6 +95,46 @@ def _msm_stage(pts_g1, pts_g2, rows3, *, c_bits: int,
                                window_group, combine=False,
                                segment=segment)
     return g1w, g2w
+
+
+def _g1_blocked_body(pts_g1, rows3, c_bits, window_group, segment):
+    """Blocked G1 tables (2, 8, 2, nmax), config.g1_blocked: the 4-row
+    batch's scan working set + scalar-side buffers do not fit HBM next
+    to the resident 2^23+ tables — run TWO 2-row blocks through ONE
+    lax.map-compiled MSM body ([H,A] with [h,wit], then [B1,C] with
+    [wit,c]); scalar rows are dynamic 2-slices of the (3, nmax, 8)
+    stack so wit_row is never duplicated."""
+    def blk(args):
+        pts_b, i = args
+        sc = jax.lax.dynamic_slice_in_dim(rows3, i, 2, axis=0)
+        return MSM.msm(G1P, pts_b, sc, c_bits, window_group,
+                       combine=False, segment=segment)
+
+    out = jax.lax.map(blk, (pts_g1, jnp.arange(2)))
+    return jax.tree.map(
+        lambda a: jnp.moveaxis(a, 0, 2).reshape(
+            a.shape[1], a.shape[2], 4), out)
+
+
+# 2^23+ single-chip path: the G1 and G2 MSMs run as SEPARATE XLA
+# programs. In one program the two MSMs are independent computations,
+# so the latency-hiding scheduler may interleave them and their
+# working sets (decompose glue, sort/gather buffers, within-arrays)
+# ADD in the buffer-assignment peak — the measured round-4 2^24 OOM
+# even after the front fit. Two programs serialize on the device
+# stream, so each peak stands alone.
+@functools.partial(
+    jax.jit, static_argnames=("c_bits", "window_group", "segment"))
+def _msm_g1_stage(pts_g1, rows3, *, c_bits, window_group, segment):
+    return _g1_blocked_body(pts_g1, rows3, c_bits, window_group, segment)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c_bits", "window_group", "segment"),
+    donate_argnums=(1,))
+def _msm_g2_stage(pts_g2, rows3, *, c_bits, window_group, segment):
+    return MSM.msm(G2P, pts_g2, rows3[1][None], c_bits, window_group,
+                   combine=False, segment=segment)
 
 
 class Prover:
@@ -660,13 +685,33 @@ class Prover:
                     rows = self._front_jit(witness, tables)
                 jax.block_until_ready(rows)  # phase attribution (~ms)
             with phase("msms", self.last_phases):
-                g1w, g2w = _msm_stage(
-                    tables["pts_g1"], tables["pts_g2"], rows,
-                    c_bits=self.c_bits, window_group=self.window_group,
-                    segment=self.segment, mesh=self.mesh)
-                # materialize (block_until_ready lies on tunneled backends)
-                g1w = [np.asarray(leaf) for leaf in g1w]  # 3 x (16, W, 4)
-                g2w = jax.tree.map(np.asarray, g2w)
+                blocked = (self.mesh is None
+                           and jax.tree.leaves(tables["pts_g1"])[0].ndim
+                           == 4)
+                if blocked:
+                    # separate programs (peak isolation, see
+                    # _msm_g1_stage); fetch G1 before dispatching G2 so
+                    # the first program's buffers are fully retired
+                    g1w = _msm_g1_stage(
+                        tables["pts_g1"], rows, c_bits=self.c_bits,
+                        window_group=self.window_group,
+                        segment=self.segment)
+                    g1w = [np.asarray(leaf) for leaf in g1w]
+                    g2w = _msm_g2_stage(
+                        tables["pts_g2"], rows, c_bits=self.c_bits,
+                        window_group=self.window_group,
+                        segment=self.segment)
+                    g2w = jax.tree.map(np.asarray, g2w)
+                else:
+                    g1w, g2w = _msm_stage(
+                        tables["pts_g1"], tables["pts_g2"], rows,
+                        c_bits=self.c_bits,
+                        window_group=self.window_group,
+                        segment=self.segment, mesh=self.mesh)
+                    # materialize (block_until_ready lies on tunneled
+                    # backends)
+                    g1w = [np.asarray(leaf) for leaf in g1w]
+                    g2w = jax.tree.map(np.asarray, g2w)
 
         # --- host: window combine + randomized assembly -------------------
         # all-projective int math (utils/hostcurve): inversion-free until
