@@ -583,12 +583,22 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     npts = scalars.shape[-2]
     bshape = scalars.shape[:-2]
     if glv:
-        # scalars become (4, *b, 2n) — word axis LEADING (glv.decompose)
-        scalars, neg = GLV.decompose(GLV.params_for(curve), scalars)
         bits = GLV.GLV_BITS
-        n = scalars.shape[-1]       # 2*npts
+        n = 2 * npts
+        # segmented GLV decomposes PER SLICE inside the scan body: the
+        # full decomposed stack + carry masks are ~2 GB of HBM at 2^24
+        # and the chunked decompose's reassembly concat transiently
+        # doubles that — per-slice recompute is ~ms against a slice's
+        # scan (the 2^24 OOM fix; costs one extra decompose per window
+        # group over the same scalars)
+        seg_glv = bool(segment and segment < n)
+        if not seg_glv:
+            # scalars become (5, *b, 2n) — word axis LEADING, zero pad
+            # word row included (glv.decompose)
+            scalars, neg = GLV.decompose(GLV.params_for(curve), scalars)
     else:
         neg, bits = None, SCALAR_BITS
+        seg_glv = False
         n = scalars.shape[-2]
     nwin = -(-bits // c)
     G_ = min(window_group, nwin)
@@ -604,10 +614,13 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     # digits are (re)computed per window group inside the scan — one u32
     # carry bitmask per scalar instead of W int32 digit rows (a 2^24-
     # scale MSM cannot hold the full digit tensor next to the tables)
-    carries = signed_digit_carries(scalars, c, bits, lead=glv)
-    if glv:
+    if seg_glv:
+        carries = s9 = None     # derived per slice (seg_step below)
+    elif glv:
+        carries = signed_digit_carries(scalars, c, bits, lead=True)
         s9 = scalars  # decompose already appends the zero pad word row
     else:
+        carries = signed_digit_carries(scalars, c, bits)
         s9 = jnp.concatenate(
             [scalars, jnp.zeros(bshape + (n, 1), jnp.uint32)], axis=-1)
 
@@ -629,16 +642,32 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
                 # digits computed PER SLICE from sliced scalars — a
                 # full-axis digit tensor is G*4 bytes/entry (1.3 GB per
                 # group at 2^24-GLV scale), a slice's is ~KBs
-                s9seg = jax.lax.dynamic_slice_in_dim(
-                    s9, off, segment,
-                    axis=s9.ndim - 1 if glv else s9.ndim - 2)
-                cseg = jax.lax.dynamic_slice_in_dim(
-                    carries, off, segment, axis=carries.ndim - 1)
+                if seg_glv:
+                    # decompose THIS slice's scalars only: entry off of
+                    # the virtual [k1 | k2] axis maps to point off%npts
+                    # with the k1/k2 block chosen by `flag`
+                    scseg = jax.lax.dynamic_slice_in_dim(
+                        scalars, offp, segment, axis=-2)
+                    d2, n2 = GLV.decompose(GLV.params_for(curve), scseg)
+                    start = jnp.where(flag, segment, 0)
+                    s9seg = jax.lax.dynamic_slice_in_dim(
+                        d2, start, segment, axis=-1)
+                    nseg = jax.lax.dynamic_slice_in_dim(
+                        n2, start, segment, axis=-1)
+                    cseg = signed_digit_carries(s9seg, c, bits,
+                                                lead=True)
+                else:
+                    s9seg = jax.lax.dynamic_slice_in_dim(
+                        s9, off, segment,
+                        axis=s9.ndim - 1 if glv else s9.ndim - 2)
+                    cseg = jax.lax.dynamic_slice_in_dim(
+                        carries, off, segment, axis=carries.ndim - 1)
+                    nseg = (jax.lax.dynamic_slice_in_dim(
+                        neg, off, segment, axis=neg.ndim - 1)
+                        if neg is not None else None)
                 dseg = group_signed_digits(s9seg, cseg, ig * G_, G_, c,
                                            lead=glv)
-                if neg is not None:
-                    nseg = jax.lax.dynamic_slice_in_dim(
-                        neg, off, segment, axis=neg.ndim - 1)
+                if nseg is not None:
                     dseg = dseg ^ nseg[None].astype(dseg.dtype)
                 # window totals are linear in the bucket sums, so each
                 # slice contributes ONE point per window (telescoped
