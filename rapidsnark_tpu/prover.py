@@ -195,13 +195,18 @@ class Prover:
             _pad_points(zkey.points_c, self.nmax),
         ])                                   # (4, nmax, 2, 8)
         if mesh is None and config.g1_blocked(self.nmax):
-            # two (8, 2, nmax) blocks [H,A] / [B1,C] on a leading map
-            # axis — the big-domain G1 MSM lax.maps over blocks and
-            # this layout slices without copying (config.g1_blocked)
+            # two SEPARATE (8, 2, nmax) blocks [H,A] / [B1,C]: the
+            # big-domain G1 MSM runs ONE compiled block program twice
+            # (prove below). A leading block axis + lax.map sliced the
+            # 2.1 GB table block per iteration INSIDE the program —
+            # those slice copies (double-buffered by the loop) were the
+            # last 2^24 RESOURCE_EXHAUSTED; separate input arrays cost
+            # the program nothing.
             blk = stacked.reshape(2, 2, self.nmax, 2, 8)
-            x = jnp.asarray(np.moveaxis(blk[:, :, :, 0, :], -1, 1))
-            y = jnp.asarray(np.moveaxis(blk[:, :, :, 1, :], -1, 1))
-            self.pts_g1 = (x, y)             # leaves (2, 8, 2, nmax)
+            self.pts_g1 = tuple(
+                (jnp.asarray(np.moveaxis(blk[b, :, :, 0, :], -1, 0)),
+                 jnp.asarray(np.moveaxis(blk[b, :, :, 1, :], -1, 0)))
+                for b in range(2))           # 2 x leaves (8, 2, nmax)
         else:
             x = jnp.asarray(np.moveaxis(stacked[:, :, 0, :], -1, 0))
             y = jnp.asarray(np.moveaxis(stacked[:, :, 1, :], -1, 0))
