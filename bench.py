@@ -22,7 +22,7 @@ formulation's arithmetic (derivation in _roofline_pts_per_sec below and
 PERF.md "measured machine limits").
 
 Env knobs: RSTPU_BENCH_BUDGET_S (wall budget, default 2800),
-RSTPU_BENCH_LOGN (kernel MSM/NTT size, default 18), RSTPU_BENCH_REPS
+RSTPU_BENCH_LOGN (kernel MSM/NTT size, default 20), RSTPU_BENCH_REPS
 (default 2), RSTPU_BENCH_WINDOW (Pippenger c, default auto),
 RSTPU_BENCH_PROVE=0 (skip proves), RSTPU_BENCH_MAX_LOGN (skip fixtures
 above this, default 24), RSTPU_BENCH_KERNELS=0 (skip kernel metrics).
@@ -42,6 +42,7 @@ from rapidsnark_tpu.utils import cache  # noqa: E402
 cache.enable()
 
 _T0 = time.monotonic()
+_HEAD = None  # best headline line emitted so far (crash-safe re-emit)
 BUDGET_S = float(os.environ.get("RSTPU_BENCH_BUDGET_S", "2800"))
 
 BASELINE_G1_MSM_PTS_PER_SEC = 1.0e7   # 64-core rapidsnark-class stand-in
@@ -203,7 +204,12 @@ def bench_ntt(log_n: int, reps: int):
 
 
 def bench_prove(path: str):
-    """(warm_latency_s, phases) for one fixture; None if absent."""
+    """(warm_latency_s, phases) for one fixture; None if absent.
+
+    The Prover is release()d before returning — its jit caches hold the
+    instance alive (static self), so without the explicit drop every
+    rung's multi-GB tables would stay pinned in HBM for the rest of the
+    run (the round-4 OOM that killed BENCH_r04)."""
     from rapidsnark_tpu.io.wtns import read_wtns
     from rapidsnark_tpu.io.zkey import read_zkey
     from rapidsnark_tpu.prover import Prover
@@ -211,11 +217,14 @@ def bench_prove(path: str):
     zkey = read_zkey(path + ".zkey")
     prover = Prover(zkey)
     zkey.close()
-    wit = read_wtns(path + ".wtns").values
-    prover.prove(wit)                         # compile + warm
-    t0 = time.perf_counter()
-    prover.prove(wit)
-    return time.perf_counter() - t0, dict(prover.last_phases)
+    try:
+        wit = read_wtns(path + ".wtns").values
+        prover.prove(wit)                         # compile + warm
+        t0 = time.perf_counter()
+        prover.prove(wit)
+        return time.perf_counter() - t0, dict(prover.last_phases)
+    finally:
+        prover.release()
 
 
 # first-visit cost (compile + table upload via the ~40 MB/s tunnel + 2
@@ -236,6 +245,7 @@ def main():
     import jax
     plat = jax.devices()[0].platform
 
+    global _HEAD
     head, head_ln = None, -1
 
     # --- end-to-end prove ladder: quick size, then LARGEST first ----------
@@ -283,46 +293,77 @@ def main():
                 baseline="stand-in-estimate")
             if head is None or ln > head_ln:
                 head, head_ln = line, ln  # largest size that ran
+                _HEAD = head
 
-    # --- MSM / NTT kernel metrics (budget-gated) ---------------------------
+    # --- MSM / NTT kernel metrics (budget-gated, each CRASH-PROOF:
+    # a kernel-stage OOM killed the whole of BENCH_r04) ---------------------
     if os.environ.get("RSTPU_BENCH_KERNELS", "1") != "0":
         msm_ln = min(log_n, max_logn)
         if _remaining() > 180:
-            pts_per_sec, dt, c_used, nwin = bench_msm("g1", msm_ln, reps, c)
-            roof = _roofline_pts_per_sec("g1", nwin)
-            line = _emit(
-                f"g1_msm_points_per_sec_2^{msm_ln}", round(pts_per_sec, 1),
-                "points/s",
-                round(pts_per_sec / BASELINE_G1_MSM_PTS_PER_SEC, 4),
-                platform=plat, latency_s=round(dt, 4), window_bits=c_used,
-                windows=nwin,
-                roofline_pct=round(100 * pts_per_sec / roof, 1),
-                baseline="stand-in-estimate")
-            if head is None:
-                head = line
+            try:
+                pts_per_sec, dt, c_used, nwin = bench_msm(
+                    "g1", msm_ln, reps, c)
+                roof = _roofline_pts_per_sec("g1", nwin)
+                line = _emit(
+                    f"g1_msm_points_per_sec_2^{msm_ln}",
+                    round(pts_per_sec, 1), "points/s",
+                    round(pts_per_sec / BASELINE_G1_MSM_PTS_PER_SEC, 4),
+                    platform=plat, latency_s=round(dt, 4),
+                    window_bits=c_used, windows=nwin,
+                    roofline_pct=round(100 * pts_per_sec / roof, 1),
+                    baseline="stand-in-estimate")
+                if head is None:
+                    head = line
+                    _HEAD = head
+            except Exception as e:
+                _emit("g1_msm_FAILED", None, "points/s", None,
+                      error=str(e)[:300])
         if _remaining() > 180:
-            g2_ln = min(msm_ln, 18)  # synthetic G2 table build is host-side
-            pts2, dt2, c2, nwin2 = bench_msm("g2", g2_ln, reps, c)
-            roof2 = _roofline_pts_per_sec("g2", nwin2)
-            _emit(f"g2_msm_points_per_sec_2^{g2_ln}", round(pts2, 1),
-                  "points/s",
-                  round(3 * pts2 / BASELINE_G1_MSM_PTS_PER_SEC, 4),
-                  platform=plat, latency_s=round(dt2, 4), window_bits=c2,
-                  windows=nwin2,
-                  roofline_pct=round(100 * pts2 / roof2, 1),
-                  baseline="stand-in-estimate; vs_baseline scales G2 "
-                           "adds ~3x G1")
+            try:
+                g2_ln = min(msm_ln, 18)  # synthetic G2 table build is
+                pts2, dt2, c2, nwin2 = bench_msm("g2", g2_ln, reps, c)
+                roof2 = _roofline_pts_per_sec("g2", nwin2)
+                _emit(f"g2_msm_points_per_sec_2^{g2_ln}", round(pts2, 1),
+                      "points/s",
+                      round(3 * pts2 / BASELINE_G1_MSM_PTS_PER_SEC, 4),
+                      platform=plat, latency_s=round(dt2, 4),
+                      window_bits=c2, windows=nwin2,
+                      roofline_pct=round(100 * pts2 / roof2, 1),
+                      baseline="stand-in-estimate; vs_baseline scales G2 "
+                               "adds ~3x G1")
+            except Exception as e:
+                _emit("g2_msm_FAILED", None, "points/s", None,
+                      error=str(e)[:300])
         if _remaining() > 120:
-            ntt_ln = min(log_n + 2, 20)
-            bf, dtn = bench_ntt(ntt_ln, reps)
-            _emit(f"ntt_butterflies_per_sec_2^{ntt_ln}",
-                  round(bf, 1), "butterflies/s", None,
-                  platform=plat, latency_s=round(dtn, 4))
+            try:
+                # 2^22 exercises the fused multi-stage pass pipeline at
+                # the size PERF.md's round-4 claim was measured at
+                ntt_ln = min(log_n + 2, 22)
+                bf, dtn = bench_ntt(ntt_ln, reps)
+                _emit(f"ntt_butterflies_per_sec_2^{ntt_ln}",
+                      round(bf, 1), "butterflies/s", None,
+                      platform=plat, latency_s=round(dtn, 4))
+            except Exception as e:
+                _emit("ntt_FAILED", None, "butterflies/s", None,
+                      error=str(e)[:300])
 
-    # --- headline repeated LAST (largest prove, else G1 MSM) ---------------
-    if head is not None:
-        print(json.dumps(head), flush=True)
+    return head
 
 
 if __name__ == "__main__":
-    main()
+    # the LAST stdout line must ALWAYS be parseable JSON (the driver
+    # parses it): re-emit the headline from a finally, and turn any
+    # escaped exception into a metric line after its traceback
+    rc = 0
+    try:
+        main()
+    except BaseException as e:
+        import traceback
+        traceback.print_exc()
+        _emit("bench_CRASHED", None, "", None,
+              error=f"{type(e).__name__}: {str(e)[:300]}")
+        rc = 1
+    finally:
+        if _HEAD is not None:
+            print(json.dumps(_HEAD), flush=True)
+    sys.exit(rc)

@@ -366,19 +366,31 @@ class ProjCurveOps(CurveOps):
         return (p[0], self.f.neg_rx(p[1]), p[2])
 
 
+def _relaxed_enabled() -> bool:
+    # read ONCE at import: trace-time reads would go stale against
+    # cached jit executables (the flag is effectively a static compile
+    # option — flipping the env mid-process cannot retrace cached
+    # programs, so a late read would silently lie)
+    import os
+    return os.environ.get("RSTPU_RELAXED", "1") != "0"
+
+
+RELAXED = _relaxed_enabled()
+
+
 def relaxed_for(curve) -> bool:
     """Whether the MSM pipeline should run `curve`'s group law in the
-    relaxed [0, 2p] domain (RSTPU_RELAXED=0 disables). G1 only: the Fq2
-    Karatsuba interior sums break the 2p bound ledger and the measured
-    G2 upside is marginal. Consumers of relaxed results must reduce
-    mod p before comparing representatives (the prover's host combine
-    does; ops/msm window totals are equal only as residues)."""
-    import os
+    relaxed [0, 2p] domain (RSTPU_RELAXED=0 at import disables). G1
+    only: the Fq2 Karatsuba interior sums break the 2p bound ledger and
+    the measured G2 upside is marginal. Consumers of relaxed results
+    must reduce mod p before comparing representatives (the prover's
+    host combine does; ops/msm window totals are equal only as
+    residues)."""
     if not isinstance(curve, ProjCurveOps) or isinstance(curve.f, Fq2Ops):
         return False
     if curve.b3_mont is not None or curve.b3_small is not None:
         return False  # add_rx hard-codes the G1 b3 = 9 constant
-    return os.environ.get("RSTPU_RELAXED", "1") != "0"
+    return RELAXED
 
 
 def _tree_stack_leaves(elems):

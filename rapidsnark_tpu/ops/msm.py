@@ -591,7 +591,11 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
         # doubles that — per-slice recompute is ~ms against a slice's
         # scan (the 2^24 OOM fix; costs one extra decompose per window
         # group over the same scalars)
-        seg_glv = bool(segment and segment < n)
+        # per-slice decompose assumes no slice straddles the k1/k2
+        # boundary of the virtual [k1 | k2] axis: segment must divide
+        # npts itself (not just n = 2*npts). Odd sizes fall back to the
+        # pre-decomposed path, which only needs segment | n.
+        seg_glv = bool(segment and segment < n and npts % segment == 0)
         if not seg_glv:
             # scalars become (5, *b, 2n) — word axis LEADING, zero pad
             # word row included (glv.decompose)

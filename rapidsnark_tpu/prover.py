@@ -60,10 +60,12 @@ def _pad_points(pts: np.ndarray, npad: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("c_bits", "window_group", "segment", "mesh"),
+    jax.jit, static_argnames=("c_bits", "window_group", "segment", "mesh",
+                              "g1_blocked"),
     donate_argnums=(2,))
 def _msm_stage(pts_g1, pts_g2, rows3, *, c_bits: int,
-               window_group: int, segment: int, mesh):
+               window_group: int, segment: int, mesh,
+               g1_blocked: bool = False):
     """Stage 2: the five MSMs (groth16.cpp:173-204) — four G1 rides one
     batched call, G2 reuses the witness scalar row. A module-level jit
     keyed ONLY on the MSM config: every circuit with the same
@@ -73,16 +75,20 @@ def _msm_stage(pts_g1, pts_g2, rows3, *, c_bits: int,
     rows3: ONE (3, nmax, 8) stack [h, wit, c] (built and donated by the
     front's final stage) — at 2^24 the rows are 1.6 GB, and separate
     h/wit/c arrays re-stacked here would double that next to the
-    resident tables (the round-4 2^24 OOM)."""
+    resident tables (the round-4 2^24 OOM).
+
+    g1_blocked is an EXPLICIT static flag (Prover.g1_blocked): the
+    round-4 regression came from three call sites inferring the layout
+    from leaf ndims — layout dispatch is never sniffed again."""
     h_row, wit_row, c_row = rows3[0], rows3[1], rows3[2]
     if mesh is None:
-        if jax.tree.leaves(pts_g1)[0].ndim == 3:
+        if g1_blocked:
+            g1w = _g1_blocked_body(pts_g1, rows3, c_bits, window_group,
+                                   segment)
+        else:
             g1_sc = jnp.stack([h_row, wit_row, wit_row, c_row])
             g1w = MSM.msm(G1P, pts_g1, g1_sc, c_bits, window_group,
                           combine=False, segment=segment)
-        else:
-            g1w = _g1_blocked_body(pts_g1, rows3, c_bits, window_group,
-                                   segment)
         g2w = MSM.msm(G2P, pts_g2, wit_row[None], c_bits, window_group,
                       combine=False, segment=segment)
     else:
@@ -98,22 +104,21 @@ def _msm_stage(pts_g1, pts_g2, rows3, *, c_bits: int,
 
 
 def _g1_blocked_body(pts_g1, rows3, c_bits, window_group, segment):
-    """Blocked G1 tables (2, 8, 2, nmax), config.g1_blocked: the 4-row
+    """Blocked G1 tables — a tuple of TWO (x, y) blocks with leaves
+    (8, 2, nmax) (Prover.__init__, config.g1_blocked): the 4-row
     batch's scan working set + scalar-side buffers do not fit HBM next
-    to the resident 2^23+ tables — run TWO 2-row blocks through ONE
-    lax.map-compiled MSM body ([H,A] with [h,wit], then [B1,C] with
-    [wit,c]); scalar rows are dynamic 2-slices of the (3, nmax, 8)
-    stack so wit_row is never duplicated."""
-    def blk(args):
-        pts_b, i = args
-        sc = jax.lax.dynamic_slice_in_dim(rows3, i, 2, axis=0)
-        return MSM.msm(G1P, pts_b, sc, c_bits, window_group,
-                       combine=False, segment=segment)
-
-    out = jax.lax.map(blk, (pts_g1, jnp.arange(2)))
+    to the resident 2^23+ tables. The two blocks ([H,A] with scalar
+    rows [h,wit], then [B1,C] with [wit,c]) run through the MSM body
+    SEQUENTIALLY in one program; scalar rows are dynamic 2-slices of
+    the (3, nmax, 8) stack so wit_row is never duplicated. Outputs
+    concatenate back to the flat path's (16, W, 4) batch order."""
+    outs = []
+    for b in range(2):
+        sc = jax.lax.dynamic_slice_in_dim(rows3, b, 2, axis=0)
+        outs.append(MSM.msm(G1P, pts_g1[b], sc, c_bits, window_group,
+                            combine=False, segment=segment))
     return jax.tree.map(
-        lambda a: jnp.moveaxis(a, 0, 2).reshape(
-            a.shape[1], a.shape[2], 4), out)
+        lambda a0, a1: jnp.concatenate([a0, a1], axis=2), *outs)
 
 
 # 2^23+ single-chip path: the G1 and G2 MSMs run as SEPARATE XLA
@@ -122,11 +127,17 @@ def _g1_blocked_body(pts_g1, rows3, c_bits, window_group, segment):
 # working sets (decompose glue, sort/gather buffers, within-arrays)
 # ADD in the buffer-assignment peak — the measured round-4 2^24 OOM
 # even after the front fit. Two programs serialize on the device
-# stream, so each peak stands alone.
+# stream, so each peak stands alone. The same logic splits the G1 MSM
+# further: each 2-row BLOCK is its own dispatch of ONE shared compiled
+# program (row_lo is traced, so both calls hit the same executable),
+# and Prover.prove fetches block 0's totals before dispatching block 1.
 @functools.partial(
     jax.jit, static_argnames=("c_bits", "window_group", "segment"))
-def _msm_g1_stage(pts_g1, rows3, *, c_bits, window_group, segment):
-    return _g1_blocked_body(pts_g1, rows3, c_bits, window_group, segment)
+def _msm_g1_block(pts_blk, rows3, row_lo, *, c_bits, window_group,
+                  segment):
+    sc = jax.lax.dynamic_slice_in_dim(rows3, row_lo, 2, axis=0)
+    return MSM.msm(G1P, pts_blk, sc, c_bits, window_group,
+                   combine=False, segment=segment)
 
 
 @functools.partial(
@@ -194,7 +205,10 @@ class Prover:
             _pad_points(zkey.points_b1, self.nmax),
             _pad_points(zkey.points_c, self.nmax),
         ])                                   # (4, nmax, 2, 8)
-        if mesh is None and config.g1_blocked(self.nmax):
+        # explicit layout flag — every consumer (pipeline/_msm_stage/
+        # prove) branches on THIS, never on leaf ranks
+        self.g1_blocked = bool(mesh is None and config.g1_blocked(self.nmax))
+        if self.g1_blocked:
             # two SEPARATE (8, 2, nmax) blocks [H,A] / [B1,C]: the
             # big-domain G1 MSM runs ONE compiled block program twice
             # (prove below). A leading block axis + lax.map sliced the
@@ -362,7 +376,7 @@ class Prover:
                             self.n_c, self.nmax, self.c_bits,
                             self.window_group, self.segment, self.ntt_seq,
                             zkey.n_coefs, self.coef_slots, nleft,
-                            self.acc1_segments, mesh_key)
+                            self.acc1_segments, self.g1_blocked, mesh_key)
 
     def __hash__(self):
         return hash(self._config_key)
@@ -377,6 +391,9 @@ class Prover:
         """Device tables passed as jit ARGUMENTS (never closed over: a
         captured jnp array becomes an HLO constant and XLA's constant
         passes choke on multi-GB literals)."""
+        if getattr(self, "released", False):
+            raise RuntimeError(
+                "Prover.release() was called; construct a new Prover")
         out = {
             "pts_g1": self.pts_g1, "pts_g2": self.pts_g2,
             "coef_s": self.coef_s, "coef_val": self.coef_val,
@@ -410,7 +427,8 @@ class Prover:
         return _msm_stage(tables["pts_g1"], tables["pts_g2"],
                           rows3, c_bits=self.c_bits,
                           window_group=self.window_group,
-                          segment=self.segment, mesh=self.mesh)
+                          segment=self.segment, mesh=self.mesh,
+                          g1_blocked=self.g1_blocked)
 
     def front(self, witness, tables):
         """Stage 1: witness -> the five MSM scalar rows (plain LE packed
@@ -635,6 +653,25 @@ class Prover:
 
     # -- public API ----------------------------------------------------------
 
+    def release(self) -> None:
+        """Drop every device-resident table so its HBM is reclaimed NOW.
+
+        The per-instance jitted methods (static_argnums=0) hold `self`
+        strongly in their compilation caches, so a Prover object never
+        dies while the process lives — which round 4's bench learned the
+        hard way: every rung's multi-GB tables stayed pinned and the run
+        OOMed. The cache retains only this OBJECT; dropping the array
+        attributes frees the device memory while the compiled
+        executables survive and are shared by any equal-config Prover
+        (__eq__/__hash__ key on _config_key). The instance cannot prove
+        afterwards."""
+        self.pts_g1 = self.pts_g2 = None
+        self.coef_s = self.coef_val = None
+        self.left_s = self.left_val = self.left_seg = self.acc2_seg = None
+        self.ntt_arrays = {}
+        self.dntt_arrays = {}
+        self.released = True
+
     def prove(self, witness_words: np.ndarray,
               r: Optional[int] = None, s: Optional[int] = None
               ) -> Tuple[Proof, list]:
@@ -690,18 +727,22 @@ class Prover:
                     rows = self._front_jit(witness, tables)
                 jax.block_until_ready(rows)  # phase attribution (~ms)
             with phase("msms", self.last_phases):
-                blocked = (self.mesh is None
-                           and jax.tree.leaves(tables["pts_g1"])[0].ndim
-                           == 4)
-                if blocked:
+                if self.g1_blocked:
                     # separate programs (peak isolation, see
-                    # _msm_g1_stage); fetch G1 before dispatching G2 so
-                    # the first program's buffers are fully retired
-                    g1w = _msm_g1_stage(
-                        tables["pts_g1"], rows, c_bits=self.c_bits,
-                        window_group=self.window_group,
-                        segment=self.segment)
-                    g1w = [np.asarray(leaf) for leaf in g1w]
+                    # _msm_g1_block): each 2-row G1 block dispatches
+                    # alone and its totals are FETCHED before the next
+                    # dispatch, so each program's buffers are fully
+                    # retired before the next peak
+                    parts = []
+                    for b in range(2):
+                        out = _msm_g1_block(
+                            tables["pts_g1"][b], rows, jnp.int32(b),
+                            c_bits=self.c_bits,
+                            window_group=self.window_group,
+                            segment=self.segment)
+                        parts.append([np.asarray(leaf) for leaf in out])
+                    g1w = [np.concatenate([p0, p1], axis=2)
+                           for p0, p1 in zip(*parts)]
                     g2w = _msm_g2_stage(
                         tables["pts_g2"], rows, c_bits=self.c_bits,
                         window_group=self.window_group,
@@ -712,7 +753,8 @@ class Prover:
                         tables["pts_g1"], tables["pts_g2"], rows,
                         c_bits=self.c_bits,
                         window_group=self.window_group,
-                        segment=self.segment, mesh=self.mesh)
+                        segment=self.segment, mesh=self.mesh,
+                        g1_blocked=False)
                     # materialize (block_until_ready lies on tunneled
                     # backends)
                     g1w = [np.asarray(leaf) for leaf in g1w]

@@ -72,3 +72,25 @@ def test_wrong_curve_rejected(tmp_path):
     zk.r = zk.r + 2
     with pytest.raises(ValueError, match="bn128"):
         Prover(zk, window_bits=4)
+
+
+def test_release_frees_device_tables():
+    """Prover.release() must drop every device-resident table even
+    though the per-instance jit caches keep the object alive (static
+    self) — the round-4 bench OOMed because `del prover` freed
+    nothing. A released prover refuses further proves."""
+    import jax
+
+    zk = read_zkey(os.path.join(FIXTURES, "sqchain64.zkey"))
+    wt = read_wtns(os.path.join(FIXTURES, "sqchain64.wtns"))
+    prover = Prover(zk, window_bits=4)
+    prover.prove(wt.values, r=R, s=S)
+    table_ids = {id(a) for a in jax.live_arrays()
+                 for leaf in jax.tree.leaves(prover.tables())
+                 if a is leaf}
+    assert table_ids, "tables should be live before release"
+    prover.release()
+    live = {id(a) for a in jax.live_arrays()}
+    assert not (table_ids & live), "released tables still live"
+    with pytest.raises(RuntimeError, match="release"):
+        prover.tables()

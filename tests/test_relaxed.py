@@ -134,11 +134,15 @@ def test_msm_relaxed_equals_canonical():
     sc = M.pad_scalars(limbs, M.pad_len(n))
 
     got = M.msm(G1P, dev, sc, 8)
-    os.environ["RSTPU_RELAXED"] = "0"
+    # the flag is read once at import (ADVICE r4: trace-time env reads
+    # go stale against cached jits); the A/B override is the module
+    # constant, flipped here around an EAGER msm (retraces per call)
+    from rapidsnark_tpu.ops import curve as C
+    saved, C.RELAXED = C.RELAXED, False
     try:
         exp = M.msm(G1P, dev, sc, 8)
     finally:
-        os.environ.pop("RSTPU_RELAXED", None)
+        C.RELAXED = saved
     gxa = PT.proj_to_affine_g1(*(np.asarray(c) for c in got))
     exa = PT.proj_to_affine_g1(*(np.asarray(c) for c in exp))
     assert gxa == exa and gxa is not None

@@ -63,7 +63,6 @@ def main():
             assert proof.a and proof.b and proof.c  # on-curve points
             phases = {k: round(v, 2)
                       for k, v in prover.last_phases.items()}
-            del prover
             print(f"2^{ln}: warmed in {time.time() - t0:.0f}s "
                   f"phases={phases}", flush=True)
         except Exception as e:  # noqa: BLE001 — report and continue
@@ -72,6 +71,12 @@ def main():
                   f"(phases completed: {done}): {str(e)[:300]}",
                   flush=True)
             rc = 1
+        finally:
+            if prover is not None:
+                # `del` alone cannot free the tables — the jit caches
+                # hold the instance (static self); release() drops the
+                # device arrays so the next rung starts with empty HBM
+                prover.release()
     return rc
 
 
