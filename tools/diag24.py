@@ -53,19 +53,22 @@ def main():
     print(f"front: {time.time()-t0:.0f}s", flush=True)
     del witness
     live("post-front")
-    t0 = time.time()
-    try:
-        g1w = PV._msm_g1_stage(tables["pts_g1"], rows, c_bits=p.c_bits,
-                               window_group=p.window_group,
-                               segment=p.segment)
-        g1w = [np.asarray(leaf) for leaf in g1w]
-        print(f"g1 stage OK: {time.time()-t0:.0f}s", flush=True)
-    except Exception as e:  # noqa: BLE001
-        print(f"g1 stage FAILED after {time.time()-t0:.0f}s: "
-              f"{str(e)[:200]}", flush=True)
-        live("post-g1-fail")
-        return 1
-    live("post-g1")
+    import jax.numpy as jnp2  # noqa: F401
+    for b in range(2):
+        t0 = time.time()
+        try:
+            out = PV._msm_g1_block(tables["pts_g1"][b], rows,
+                                   jnp.int32(b), c_bits=p.c_bits,
+                                   window_group=p.window_group,
+                                   segment=p.segment)
+            out = [np.asarray(leaf) for leaf in out]
+            print(f"g1 block {b} OK: {time.time()-t0:.0f}s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"g1 block {b} FAILED after {time.time()-t0:.0f}s: "
+                  f"{str(e)[:200]}", flush=True)
+            live(f"post-g1b{b}-fail")
+            return 1
+        live(f"post-g1b{b}")
     t0 = time.time()
     try:
         g2w = PV._msm_g2_stage(tables["pts_g2"], rows, c_bits=p.c_bits,
