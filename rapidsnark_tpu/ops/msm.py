@@ -214,25 +214,48 @@ def _chunked_prefix(curve: CurveOps, pt, sign, batch: Tuple[int, ...],
 
     tot, within_k = jax.lax.scan(step, curve.inf(batch + (nb,)), xs)
     # within_k: K-tuple of points, leaves (C/K, 16, *batch, nb) at
-    # column index s*K + j -> reassemble the flat lane axis
-    def from_cols_k(*ls):
-        a = jnp.stack(ls, axis=1)            # (C/K, K, 16, *batch, nb)
-        a = a.reshape((C,) + a.shape[2:])    # (C, 16, *batch, nb)
-        a = jnp.moveaxis(a, 0, -1)
-        return a.reshape(a.shape[:-2] + (nb * C,))
-    within = jax.tree.map(from_cols_k, *within_k)
-
+    # column index s*K + j. Kept in COLUMN layout: reassembling the
+    # flat (…, n) lane axis was a moveaxis relayout — 2 co-live copies
+    # of the biggest array in the MSM (~805 MB per G1 slice-group at
+    # segment 2^19) for the sake of ~M boundary gathers; _ps_at
+    # gathers the boundaries straight out of the column layout instead
+    # (part of the round-5 2^24 HBM fit).
     incl = _prefix_2level(curve, tot, nb)
     rolled = _pt_map(incl, lambda a: jnp.roll(a, 1, axis=-1))
     excl = curve.select(jnp.arange(nb) == 0, curve.inf(batch + (nb,)), rolled)
-    return within, excl
+    return within_k, excl
 
 
-def _ps_at(curve: CurveOps, within, excl, k):
-    """PS(k) = sum of the first k sorted points; k: (*batch, m) int32."""
+def _ps_at(curve: CurveOps, within_k, excl, k):
+    """PS(k) = sum of the first k sorted points; k: (*batch, m) int32.
+
+    within_k: the scan's COLUMN-layout prefix outputs (K-tuple of
+    points, leaves (C/K, 16, *batch, nb)): flat position
+    j = nb_idx*C + c_idx lives at scan step c_idx // K, kernel column
+    c_idx % K, lane nb_idx."""
+    K = len(within_k)
     pos = jnp.maximum(k - 1, 0)
-    w = _pt_take_last(within, pos)
-    e = _pt_take_last(excl, pos // _CHUNK)
+    cidx = pos % _CHUNK
+    nbidx = pos // _CHUNK
+    step = cidx // K
+
+    def g(a):
+        # a: (C/K, 16, *batch, nb) -> (16, *batch, m) at
+        # [step, :, batch…, nbidx]
+        nbatch = a.ndim - 3
+        ib = [jax.lax.broadcasted_iota(jnp.int32, pos.shape, d)
+              for d in range(nbatch)]
+        out = a[(step, slice(None), *ib, nbidx)]  # (*batch, m, 16)
+        return jnp.moveaxis(out, -1, 0)
+
+    w = _pt_map(within_k[0], g)
+    if K > 1:
+        jk = cidx % K
+        for j in range(1, K):
+            wj = _pt_map(within_k[j], g)
+            mask = (jk == j)[None]
+            w = jax.tree.map(lambda a, b: jnp.where(mask, b, a), w, wj)
+    e = _pt_take_last(excl, nbidx)
     s = _add(curve, w, e)
     return curve.select(k == 0, curve.inf(k.shape), s)
 
