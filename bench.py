@@ -64,10 +64,15 @@ def _remaining() -> float:
     return BUDGET_S - (time.monotonic() - _T0)
 
 
+_LAST = None  # last emitted line (fallback re-emit when no headline)
+
+
 def _emit(metric, value, unit, vs_baseline, **extra):
+    global _LAST
     line = {"metric": metric, "value": value, "unit": unit,
             "vs_baseline": vs_baseline, "extra": extra}
     print(json.dumps(line), flush=True)
+    _LAST = line
     return line
 
 
@@ -260,30 +265,31 @@ def main():
                 n = int(m.group(1))
                 if n.bit_length() - 1 <= max_logn:
                     sizes.append(n.bit_length() - 1)
-        # order (BENCH_r03's lesson — ascending starved the headline):
-        # smallest first (a line lands within ~2 min), the LARGEST
-        # second (the headline size gets the remaining budget while it
-        # is still plentiful), then the rest DESCENDING as backfill.
-        # The headline rung runs even when the estimate is tight (a
-        # slow line beats a SKIPPED one); backfill rungs are gated.
+        # order (BENCH_r03's lesson — ascending starved the headline;
+        # r4's lesson — backfill starved the kernel lines): smallest
+        # first (a line lands within ~2 min), the LARGEST second (the
+        # headline gets the budget while it is plentiful), THEN the
+        # kernel metrics, then the rest DESCENDING as gated backfill.
         asc = sorted(sizes)
         order = asc[:1]
         if len(asc) > 1:
-            order += [asc[-1]] + asc[-2:0:-1]
-        for i, ln in enumerate(order):
-            is_headline = len(asc) > 1 and i == 1
-            gate = 0.5 if is_headline else 1.0
-            if i > 0 and _remaining() < gate * _prove_cost_estimate_s(ln):
+            order += [asc[-1]]
+        backfill = asc[-2:0:-1]
+
+        def prove_rung(ln, gated):
+            nonlocal head, head_ln
+            global _HEAD
+            if gated and _remaining() < _prove_cost_estimate_s(ln):
                 _emit(f"groth16_prove_SKIPPED_2^{ln}", None, "s", None,
                       reason=f"budget: {_remaining():.0f}s left")
-                continue
+                return
             path = os.path.join(fixdir, f"sqchain{1 << ln}")
             try:
                 prove_s, phases = bench_prove(path)
             except Exception as e:  # OOM etc: keep the rest of the run
                 _emit(f"groth16_prove_FAILED_2^{ln}", None, "s", None,
                       error=str(e)[:300])
-                continue
+                return
             baseline_s = BASELINE_PROVE_S_2_16 * (1 << ln) / (1 << 16)
             line = _emit(
                 f"groth16_prove_latency_2^{ln}", round(prove_s, 3), "s",
@@ -294,6 +300,11 @@ def main():
             if head is None or ln > head_ln:
                 head, head_ln = line, ln  # largest size that ran
                 _HEAD = head
+
+        for ln in order:
+            # the quick and headline rungs run ungated — a slow
+            # headline line beats a SKIPPED one
+            prove_rung(ln, gated=False)
 
     # --- MSM / NTT kernel metrics (budget-gated, each CRASH-PROOF:
     # a kernel-stage OOM killed the whole of BENCH_r04) ---------------------
@@ -347,6 +358,13 @@ def main():
                 _emit("ntt_FAILED", None, "butterflies/s", None,
                       error=str(e)[:300])
 
+    # --- backfill prove rungs (descending, budget-gated) — AFTER the
+    # kernel metrics so a long 2^24 rung cannot starve the kernel lines
+    # (VERDICT r4 #4) ------------------------------------------------------
+    if os.environ.get("RSTPU_BENCH_PROVE", "1") != "0":
+        for ln in backfill:
+            prove_rung(ln, gated=True)
+
     return head
 
 
@@ -364,6 +382,9 @@ if __name__ == "__main__":
               error=f"{type(e).__name__}: {str(e)[:300]}")
         rc = 1
     finally:
-        if _HEAD is not None:
-            print(json.dumps(_HEAD), flush=True)
+        tail = _HEAD or _LAST
+        if tail is None:
+            tail = _emit("bench_no_metrics", None, "", None)
+        else:
+            print(json.dumps(tail), flush=True)
     sys.exit(rc)
