@@ -569,7 +569,7 @@ def _phi_extend(curve: CurveOps, pts):
 
 def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
         window_group: int = 5, combine: bool = True, segment: int = 0,
-        glv: bool | None = None):
+        glv: bool | None = None, row_slice=None):
     """Multi-scalar multiplication, batched over leading axes.
 
     pts: PACKED affine point pytree, leaves (8, *batch, n) — two 16-bit
@@ -593,6 +593,14 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     bounds the prefix-scan working set (the all-positions `within`
     array is ~192*G*B bytes per point) so 2^24-scale MSMs fit in HBM.
 
+    `row_slice=(row_lo, nrows)` (row_lo may be TRACED) selects nrows
+    leading-axis rows of a bigger scalar stack WITHOUT materializing
+    the slice: on the segmented-GLV path every per-slice read slices
+    (row, point) in one dynamic_slice, so the program never holds the
+    (nrows, n, 8) row copy (1 GB at 2^24 — part of the round-5 HBM
+    fit). Paths that need the whole rows up front fall back to one
+    materialized slice.
+
     `glv` (default: ops/glv.enabled()) decomposes every scalar into two
     ~127-bit halves against the curve's cube-root endomorphism
     (ops/glv.py): the window count HALVES (ceil(128/c) vs ceil(256/c))
@@ -604,7 +612,11 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
     if glv is None:
         glv = GLV.enabled()
     npts = scalars.shape[-2]
-    bshape = scalars.shape[:-2]
+    if row_slice is not None:
+        row_lo, nrows = row_slice
+        bshape = (nrows,)
+    else:
+        bshape = scalars.shape[:-2]
     if glv:
         bits = GLV.GLV_BITS
         n = 2 * npts
@@ -619,6 +631,11 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
         # npts itself (not just n = 2*npts). Odd sizes fall back to the
         # pre-decomposed path, which only needs segment | n.
         seg_glv = bool(segment and segment < n and npts % segment == 0)
+        if row_slice is not None and not seg_glv:
+            # only the per-slice path reads rows lazily; materialize
+            scalars = jax.lax.dynamic_slice_in_dim(
+                scalars, row_lo, nrows, axis=0)
+            row_slice = None
         if not seg_glv:
             # scalars become (5, *b, 2n) — word axis LEADING, zero pad
             # word row included (glv.decompose)
@@ -627,6 +644,10 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
         neg, bits = None, SCALAR_BITS
         seg_glv = False
         n = scalars.shape[-2]
+        if row_slice is not None:
+            scalars = jax.lax.dynamic_slice_in_dim(
+                scalars, row_lo, nrows, axis=0)
+            row_slice = None
     nwin = -(-bits // c)
     G_ = min(window_group, nwin)
     while nwin % G_:
@@ -664,6 +685,13 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
                 offp = jnp.where(flag, off - npts, off)
                 pseg = _pt_map(pts, lambda a: jax.lax.dynamic_slice_in_dim(
                     a, offp, segment, axis=a.ndim - 1))
+                # barrier: downstream stages want the slice in a
+                # different tile layout than the resident table; without
+                # it XLA hoists the conversion OUT of the slice loop as
+                # a full-table relayout copy (2 x 1 GiB of program temp
+                # at 2^24 — measured round 5). Behind the barrier the
+                # conversion applies to the 34 MB slice instead.
+                pseg = jax.lax.optimization_barrier(pseg)
                 if glv:  # phi image for slices in the upper half
                     pseg = (_phi_apply_x(sc, pseg[0], flag), pseg[1])
                 # digits computed PER SLICE from sliced scalars — a
@@ -673,8 +701,15 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
                     # decompose THIS slice's scalars only: entry off of
                     # the virtual [k1 | k2] axis maps to point off%npts
                     # with the k1/k2 block chosen by `flag`
-                    scseg = jax.lax.dynamic_slice_in_dim(
-                        scalars, offp, segment, axis=-2)
+                    if row_slice is not None:
+                        # (row, point) sliced TOGETHER: the (nrows, n,
+                        # 8) row copy never materializes
+                        scseg = jax.lax.dynamic_slice(
+                            scalars, (row_lo, offp, 0),
+                            (nrows, segment, scalars.shape[-1]))
+                    else:
+                        scseg = jax.lax.dynamic_slice_in_dim(
+                            scalars, offp, segment, axis=-2)
                     d2, n2 = GLV.decompose(GLV.params_for(curve), scseg)
                     start = jnp.where(flag, segment, 0)
                     s9seg = jax.lax.dynamic_slice_in_dim(

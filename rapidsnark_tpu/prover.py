@@ -114,9 +114,9 @@ def _g1_blocked_body(pts_g1, rows3, c_bits, window_group, segment):
     concatenate back to the flat path's (16, W, 4) batch order."""
     outs = []
     for b in range(2):
-        sc = jax.lax.dynamic_slice_in_dim(rows3, b, 2, axis=0)
-        outs.append(MSM.msm(G1P, pts_g1[b], sc, c_bits, window_group,
-                            combine=False, segment=segment))
+        outs.append(MSM.msm(G1P, pts_g1[b], rows3, c_bits, window_group,
+                            combine=False, segment=segment,
+                            row_slice=(jnp.int32(b), 2)))
     return jax.tree.map(
         lambda a0, a1: jnp.concatenate([a0, a1], axis=2), *outs)
 
@@ -131,21 +131,105 @@ def _g1_blocked_body(pts_g1, rows3, c_bits, window_group, segment):
 # further: each 2-row BLOCK is its own dispatch of ONE shared compiled
 # program (row_lo is traced, so both calls hit the same executable),
 # and Prover.prove fetches block 0's totals before dispatching block 1.
-@functools.partial(
-    jax.jit, static_argnames=("c_bits", "window_group", "segment"))
-def _msm_g1_block(pts_blk, rows3, row_lo, *, c_bits, window_group,
-                  segment):
-    sc = jax.lax.dynamic_slice_in_dim(rows3, row_lo, 2, axis=0)
-    return MSM.msm(G1P, pts_blk, sc, c_bits, window_group,
-                   combine=False, segment=segment)
+#
+# LAYOUT PINNING (TPU only): left to itself, XLA's layout assignment
+# relayouts the big parameters at program entry — a 1.5 GiB copy of
+# rows3 ({1,2,0:T(8,128)} -> {1,0,2:T(4,128)}) and 1.0 GiB of x-table
+# copies ({2,1,0:T(2,128)} -> {2,0,1:T(8,128)}) inside the G1 block,
+# 2.0 GiB of table copies inside the G2 stage — measured 2.5 of the
+# 3.6 GiB program temp at 2^24 and the difference between fitting HBM
+# next to the resident tables and the round-4/5 RESOURCE_EXHAUSTED.
+# The fix: upload the tables and emit the rows stack ALREADY in the
+# layouts the MSM programs prefer, and pin the programs' entry layouts
+# to match (jax.experimental.layout.Format), so no copy exists on
+# either side of the boundary.
+
+# major_to_minor orders the MSM programs prefer (read off the
+# unpinned programs' chosen entry/internal layouts at 2^24):
+_MTM_PTS_X = (1, 0, 2)    # (8, B, n) x-tables: {2,0,1:T(8,128)}
+_MTM_PTS_Y = (0, 1, 2)    # y-tables keep the row-major default
+_MTM_ROWS = (2, 0, 1)     # (3, nmax, 8) rows:  {1,0,2:T(4,128)}
 
 
-@functools.partial(
-    jax.jit, static_argnames=("c_bits", "window_group", "segment"),
-    donate_argnums=(1,))
-def _msm_g2_stage(pts_g2, rows3, *, c_bits, window_group, segment):
+def _fmt(mtm):
+    """Format for the default device, or None off-TPU (CPU tests: the
+    CPU backend has no tiled layouts and pinning would only restrict
+    the compiler)."""
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        return None
+    from jax.experimental.layout import Format, Layout
+    return Format(Layout(major_to_minor=mtm),
+                  jax.sharding.SingleDeviceSharding(dev))
+
+
+def _g1_block_impl(pts_blk, rows3, row_lo, c_bits, window_group,
+                   segment):
+    return MSM.msm(G1P, pts_blk, rows3, c_bits, window_group,
+                   combine=False, segment=segment, row_slice=(row_lo, 2))
+
+
+def _g2_stage_impl(pts_g2, rows3, c_bits, window_group, segment):
     return MSM.msm(G2P, pts_g2, rows3[1][None], c_bits, window_group,
                    combine=False, segment=segment)
+
+
+@functools.cache
+def _g1_block_jit(pin: bool):
+    # statics are positional: pjit rejects kwargs once in_shardings is
+    # given, and in_shardings covers only the dynamic leading args
+    kw = {}
+    if pin:
+        sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        kw["in_shardings"] = ((_fmt(_MTM_PTS_X), _fmt(_MTM_PTS_Y)),
+                              _fmt(_MTM_ROWS), sh)
+    return jax.jit(_g1_block_impl, static_argnums=(3, 4, 5), **kw)
+
+
+@functools.cache
+def _g2_stage_jit(pin: bool):
+    kw = {}
+    if pin:
+        fx = _fmt(_MTM_PTS_X)
+        kw["in_shardings"] = (((fx, fx), (fx, fx)), _fmt(_MTM_ROWS))
+    return jax.jit(_g2_stage_impl, static_argnums=(2, 3, 4),
+                   donate_argnums=(1,), **kw)
+
+
+@functools.cache
+def _rows_fn(cfg, pin: bool):
+    """Rows-stack emitter for the staged front; `pin` additionally
+    pins the output to the MSM programs' rows entry layout."""
+    n, n_vars, n_public, n_c, nmax = cfg
+
+    def impl(witness, hp):
+        return _build_rows(witness, hp, n, n_vars, n_public, n_c, nmax)
+
+    kw = {}
+    if pin:
+        f = _fmt(_MTM_ROWS)
+        if f is not None:
+            kw["out_shardings"] = f
+    return jax.jit(impl, donate_argnums=(0, 1), **kw)
+
+
+def _build_rows(witness, hp, n, n_vars, n_public, n_c, nmax):
+    rows = jnp.zeros((3, nmax, 8), jnp.uint32)
+    rows = rows.at[0, :n].set(hp.T)
+    rows = rows.at[1, :n_vars].set(witness)
+    rows = rows.at[2, :n_c].set(witness[n_public + 1:])
+    return rows
+
+
+def _msm_g1_block(pts_blk, rows3, row_lo, *, c_bits, window_group,
+                  segment):
+    return _g1_block_jit(jax.devices()[0].platform == "tpu")(
+        pts_blk, rows3, row_lo, c_bits, window_group, segment)
+
+
+def _msm_g2_stage(pts_g2, rows3, *, c_bits, window_group, segment):
+    return _g2_stage_jit(jax.devices()[0].platform == "tpu")(
+        pts_g2, rows3, c_bits, window_group, segment)
 
 
 class Prover:
@@ -217,9 +301,16 @@ class Prover:
             # last 2^24 RESOURCE_EXHAUSTED; separate input arrays cost
             # the program nothing.
             blk = stacked.reshape(2, 2, self.nmax, 2, 8)
+            # upload DIRECTLY in the layouts the pinned MSM programs
+            # take (no entry relayout copies; _fmt(None) off-TPU)
+            fx, fy = _fmt(_MTM_PTS_X), _fmt(_MTM_PTS_Y)
+
+            def put(a, f):
+                return jnp.asarray(a) if f is None else jax.device_put(a, f)
+
             self.pts_g1 = tuple(
-                (jnp.asarray(np.moveaxis(blk[b, :, :, 0, :], -1, 0)),
-                 jnp.asarray(np.moveaxis(blk[b, :, :, 1, :], -1, 0)))
+                (put(np.moveaxis(blk[b, :, :, 0, :], -1, 0), fx),
+                 put(np.moveaxis(blk[b, :, :, 1, :], -1, 0), fy))
                 for b in range(2))           # 2 x leaves (8, 2, nmax)
         else:
             x = jnp.asarray(np.moveaxis(stacked[:, :, 0, :], -1, 0))
@@ -234,6 +325,14 @@ class Prover:
         # totals back, so everything downstream stays on the zkey twist
         self.pts_g2 = MSM.g2_rescale_packed(((cs[0], cs[1]),
                                              (cs[2], cs[3])))
+        if self.g1_blocked:
+            # relayout ONCE at build into the pinned G2-stage entry
+            # layout (the unpinned program spent 2.0 GiB of its temp
+            # arena re-copying all four leaves per prove)
+            fx = _fmt(_MTM_PTS_X)
+            if fx is not None:
+                self.pts_g2 = jax.tree.map(
+                    lambda a: jax.device_put(a, fx), self.pts_g2)
 
         if mesh is not None:
             from .parallel import multihost, pmsm
@@ -573,12 +672,8 @@ class Prover:
         ONE (3, nmax, 8) stack [h, wit, c] — _msm_stage slices it, so
         the rows are never re-stacked into a second 1.6 GB buffer at
         2^24 (the round-4 OOM)."""
-        n, nmax = self.domain, self.nmax
-        rows = jnp.zeros((3, nmax, 8), jnp.uint32)
-        rows = rows.at[0, :n].set(hp.T)
-        rows = rows.at[1, :self.n_vars].set(witness)
-        rows = rows.at[2, :self.n_c].set(witness[self.n_public + 1:])
-        return rows
+        return _build_rows(witness, hp, self.domain, self.n_vars,
+                           self.n_public, self.n_c, self.nmax)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _front_jit(self, witness, tables):
@@ -633,9 +728,13 @@ class Prover:
                 0, 1).reshape(8, n)
         return h_of((m, c2))
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def _rows_jit(self, witness, hp):
-        return self._rows(witness, hp)
+    def _rows_pinned(self, witness, hp):
+        """Staged-path rows emitter: output layout pinned to the MSM
+        programs' rows entry (blocked TPU path), so no relayout copy
+        exists on either side of the program boundary."""
+        cfg = (self.domain, self.n_vars, self.n_public, self.n_c,
+               self.nmax)
+        return _rows_fn(cfg, self.g1_blocked)(witness, hp)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _split_ab_jit(self, ab):
@@ -649,7 +748,7 @@ class Prover:
         m = self._ab_mul_jit(a2, b2)      # a2/b2 die here, before the
         c2 = self._coset_jit(cvec, tables["ntt"])  # c transform runs
         hp = self._h_from_jit(m, c2)
-        return self._rows_jit(witness, hp)
+        return self._rows_pinned(witness, hp)
 
     # -- public API ----------------------------------------------------------
 
