@@ -544,10 +544,16 @@ def _phi_apply_x(curve: CurveOps, x, flag=None):
     outs = []
     for a in leaves:
         u = unpack_limb_rows(a)
-        m = FQ.mul(u, FQ.const(beta, u.shape[1:]))
+        c = FQ.const(beta, u.shape[1:])
         if flag is not None:
-            m = jnp.where(flag, m, u)
-        outs.append(pack_limb_rows(m))
+            # select the MULTIPLIER (beta vs Montgomery one — an exact
+            # identity on canonical coords) instead of the result: a
+            # where(flag, beta*x, x) kept the RAW table slice live into
+            # the gather, wanting it in a second tile layout — XLA then
+            # hoisted a full-table relayout copy out of the slice loop
+            # (1 GiB of program temp at 2^24)
+            c = FQ.select(flag, c, FQ.one_mont(u.shape[1:]))
+        outs.append(pack_limb_rows(FQ.mul(u, c)))
     return outs[0] if not isinstance(x, tuple) else tuple(outs)
 
 
@@ -685,12 +691,6 @@ def msm(curve: CurveOps, pts, scalars: jnp.ndarray, c: int,
                 offp = jnp.where(flag, off - npts, off)
                 pseg = _pt_map(pts, lambda a: jax.lax.dynamic_slice_in_dim(
                     a, offp, segment, axis=a.ndim - 1))
-                # barrier: downstream stages want the slice in a
-                # different tile layout than the resident table; without
-                # it XLA hoists the conversion OUT of the slice loop as
-                # a full-table relayout copy (2 x 1 GiB of program temp
-                # at 2^24 — measured round 5). Behind the barrier the
-                # conversion applies to the 34 MB slice instead.
                 pseg = jax.lax.optimization_barrier(pseg)
                 if glv:  # phi image for slices in the upper half
                     pseg = (_phi_apply_x(sc, pseg[0], flag), pseg[1])

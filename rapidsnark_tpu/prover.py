@@ -388,8 +388,19 @@ class Prover:
         v_pad = np.zeros((2 * n * K, 8), np.uint32)  # dummy -> coef 0
         s_pad[slot] = coef_s[main]
         v_pad[slot] = coef_val[main]
-        self.coef_s = jnp.asarray(s_pad)
-        self.coef_val = jnp.asarray(v_pad)
+        # 2^23+ single chip: the front-only tables (coefficients + NTT
+        # twiddles, ~1.8 GiB at 2^24) STAY ON THE HOST and ride to the
+        # device per prove (prove-local buffers, freed before the MSM
+        # stage dispatches) — every byte of HBM residency during the
+        # MSMs is peak that the MSM programs cannot use (measured
+        # round 5: the G1 block fits at ~8 GiB residency and
+        # RESOURCE_EXHAUSTs at 9.6)
+        self.host_front_tables = bool(self.g1_blocked
+                                      and jax.devices()[0].platform
+                                      == "tpu")
+        _dev = (np.asarray if self.host_front_tables else jnp.asarray)
+        self.coef_s = _dev(s_pad)
+        self.coef_val = _dev(v_pad)
         # leftover records (rank >= K): segment-sum path, two-level when
         # a row exceeds the 2^15-term deferred-carry headroom
         left = np.nonzero(~main)[0]
@@ -400,10 +411,10 @@ class Prover:
         if left.size:
             lseg = seg[left]
             lrank = rank[left] - K
-            self.left_s = jnp.asarray(coef_s[left])
-            self.left_val = jnp.asarray(coef_val[left])
+            self.left_s = _dev(coef_s[left])
+            self.left_val = _dev(coef_val[left])
             if int(counts.max()) - K < cap:
-                self.left_seg = jnp.asarray(lseg.astype(np.int32))
+                self.left_seg = _dev(lseg.astype(np.int32))
                 self.acc1_segments = 2 * n
             else:
                 nsub = (int(counts.max()) - K - 1) // cap + 1
@@ -412,9 +423,9 @@ class Prover:
                                      "(> 2^30 terms on one row)")
                 key = lseg * nsub + (lrank >> 15)
                 uniq, inv = np.unique(key, return_inverse=True)
-                self.left_seg = jnp.asarray(inv.astype(np.int32))
+                self.left_seg = _dev(inv.astype(np.int32))
                 self.acc1_segments = int(uniq.shape[0])
-                self.acc2_seg = jnp.asarray((uniq // nsub).astype(np.int32))
+                self.acc2_seg = _dev((uniq // nsub).astype(np.int32))
 
         # --- NTT plan for the proving domain ------------------------------
         plan = NTTPlan(self.power)
@@ -428,7 +439,8 @@ class Prover:
             arrays = {k: v for k, v in arrays.items() if k in keep}
             if self.power >= 20:
                 arrays = {k: MSM.pack_limb_rows(v) for k, v in arrays.items()}
-        self.ntt_arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        self.ntt_arrays = {k: _dev(np.asarray(v))
+                           for k, v in arrays.items()}
         self.eta = plan.eta
 
         # distributed four-step NTT when the domain splits over the mesh
@@ -741,6 +753,18 @@ class Prover:
         return ab[:, 0], ab[:, 1]
 
     def _front_staged(self, witness, tables):
+        if self.host_front_tables:
+            # PROVE-LOCAL device copies of the host-side front tables
+            # (coefficients + NTT twiddles): uploaded here, dead when
+            # this frame returns — i.e., gone before the MSM stage
+            # dispatches, so the MSM programs get their HBM back
+            tables = dict(tables)
+            for k in ("coef_s", "coef_val", "left_s", "left_val",
+                      "left_seg", "acc2_seg"):
+                if k in tables:
+                    tables[k] = jnp.asarray(tables[k])
+            tables["ntt"] = {k: jnp.asarray(v)
+                             for k, v in tables["ntt"].items()}
         ab, cvec = self._acc_jit(witness, tables)
         a, b = self._split_ab_jit(ab)
         a2 = self._coset_jit(a, tables["ntt"])
