@@ -163,6 +163,18 @@ def _fmt(mtm):
                   jax.sharding.SingleDeviceSharding(dev))
 
 
+def _park_sharding():
+    """pinned_host sharding on the default device (stage paging)."""
+    return jax.sharding.SingleDeviceSharding(jax.devices()[0],
+                                             memory_kind="pinned_host")
+
+
+def _unpark(tree, fmt=None):
+    """pinned_host -> HBM, optionally into a pinned entry layout."""
+    tgt = fmt or jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    return jax.tree.map(lambda a: jax.device_put(a, tgt), tree)
+
+
 def _g1_block_impl(pts_blk, rows3, row_lo, c_bits, window_group,
                    segment):
     return MSM.msm(G1P, pts_blk, rows3, c_bits, window_group,
@@ -222,13 +234,14 @@ def _build_rows(witness, hp, n, n_vars, n_public, n_c, nmax):
 
 
 def _msm_g1_block(pts_blk, rows3, row_lo, *, c_bits, window_group,
-                  segment):
-    return _g1_block_jit(jax.devices()[0].platform == "tpu")(
+                  segment, pin=False):
+    return _g1_block_jit(bool(pin))(
         pts_blk, rows3, row_lo, c_bits, window_group, segment)
 
 
-def _msm_g2_stage(pts_g2, rows3, *, c_bits, window_group, segment):
-    return _g2_stage_jit(jax.devices()[0].platform == "tpu")(
+def _msm_g2_stage(pts_g2, rows3, *, c_bits, window_group, segment,
+                  pin=False):
+    return _g2_stage_jit(bool(pin))(
         pts_g2, rows3, c_bits, window_group, segment)
 
 
@@ -292,25 +305,44 @@ class Prover:
         # explicit layout flag — every consumer (pipeline/_msm_stage/
         # prove) branches on THIS, never on leaf ranks
         self.g1_blocked = bool(mesh is None and config.g1_blocked(self.nmax))
+        # STAGE PAGING (the 2^24 single-chip fit, round 5): on the
+        # blocked path every big table PARKS in the TPU's pinned_host
+        # memory and is unparked into HBM only for the stage that reads
+        # it (front: coefficients+twiddles; each G1 block and the G2
+        # stage: its own point table). HBM during any one stage holds
+        # just that stage's arguments + temps — the measured backend
+        # refuses programs once touched residency + temps approach
+        # ~10 GiB, far below the chip's nominal 16. pinned_host <->
+        # HBM moves run at PCIe speed (~0.01 s/GiB measured), paid per
+        # prove; CPU tests keep plain device arrays.
+        self.paged = bool(self.g1_blocked
+                          and jax.devices()[0].platform == "tpu")
+        # entry-layout pinning is OFF by default: combining pinned
+        # entry formats with pinned_host unparking hard-crashes the TPU
+        # compiler's tiling assignment (Check failed: minor_to_major,
+        # tpu_post_fusion_tiling_assignment.cc — observed at both tiny
+        # and 2^24 shapes), and with stage paging the ~2.5 GiB of entry
+        # relayout copies fit the per-stage budget anyway (args 3.6 +
+        # temp 3.6 ~ 7.2 GiB vs the ~8+ GiB ceiling). RSTPU_PIN_LAYOUTS=1
+        # re-enables for experiments.
+        import os as _os
+        self.pin_layouts = bool(
+            self.paged and self.nmax >= (1 << 22)
+            and _os.environ.get("RSTPU_PIN_LAYOUTS") == "1")
+        park = _park_sharding() if self.paged else None
         if self.g1_blocked:
             # two SEPARATE (8, 2, nmax) blocks [H,A] / [B1,C]: the
             # big-domain G1 MSM runs ONE compiled block program twice
-            # (prove below). A leading block axis + lax.map sliced the
-            # 2.1 GB table block per iteration INSIDE the program —
-            # those slice copies (double-buffered by the loop) were the
-            # last 2^24 RESOURCE_EXHAUSTED; separate input arrays cost
-            # the program nothing.
+            # (prove below); each block unparks alone.
             blk = stacked.reshape(2, 2, self.nmax, 2, 8)
-            # upload DIRECTLY in the layouts the pinned MSM programs
-            # take (no entry relayout copies; _fmt(None) off-TPU)
-            fx, fy = _fmt(_MTM_PTS_X), _fmt(_MTM_PTS_Y)
 
-            def put(a, f):
-                return jnp.asarray(a) if f is None else jax.device_put(a, f)
+            def put(a):
+                return (jnp.asarray(a) if park is None
+                        else jax.device_put(a, park))
 
             self.pts_g1 = tuple(
-                (put(np.moveaxis(blk[b, :, :, 0, :], -1, 0), fx),
-                 put(np.moveaxis(blk[b, :, :, 1, :], -1, 0), fy))
+                (put(np.moveaxis(blk[b, :, :, 0, :], -1, 0)),
+                 put(np.moveaxis(blk[b, :, :, 1, :], -1, 0)))
                 for b in range(2))           # 2 x leaves (8, 2, nmax)
         else:
             x = jnp.asarray(np.moveaxis(stacked[:, :, 0, :], -1, 0))
@@ -325,14 +357,9 @@ class Prover:
         # totals back, so everything downstream stays on the zkey twist
         self.pts_g2 = MSM.g2_rescale_packed(((cs[0], cs[1]),
                                              (cs[2], cs[3])))
-        if self.g1_blocked:
-            # relayout ONCE at build into the pinned G2-stage entry
-            # layout (the unpinned program spent 2.0 GiB of its temp
-            # arena re-copying all four leaves per prove)
-            fx = _fmt(_MTM_PTS_X)
-            if fx is not None:
-                self.pts_g2 = jax.tree.map(
-                    lambda a: jax.device_put(a, fx), self.pts_g2)
+        if self.paged:
+            self.pts_g2 = jax.tree.map(
+                lambda a: jax.device_put(a, park), self.pts_g2)
 
         if mesh is not None:
             from .parallel import multihost, pmsm
@@ -388,17 +415,15 @@ class Prover:
         v_pad = np.zeros((2 * n * K, 8), np.uint32)  # dummy -> coef 0
         s_pad[slot] = coef_s[main]
         v_pad[slot] = coef_val[main]
-        # 2^23+ single chip: the front-only tables (coefficients + NTT
-        # twiddles, ~1.8 GiB at 2^24) STAY ON THE HOST and ride to the
-        # device per prove (prove-local buffers, freed before the MSM
-        # stage dispatches) — every byte of HBM residency during the
-        # MSMs is peak that the MSM programs cannot use (measured
-        # round 5: the G1 block fits at ~8 GiB residency and
-        # RESOURCE_EXHAUSTs at 9.6)
-        self.host_front_tables = bool(self.g1_blocked
-                                      and jax.devices()[0].platform
-                                      == "tpu")
-        _dev = (np.asarray if self.host_front_tables else jnp.asarray)
+        # paged mode: the front-only tables (coefficients + NTT
+        # twiddles, ~1.8 GiB at 2^24) park in pinned_host too and ride
+        # into HBM per prove as prove-local buffers that die before the
+        # MSM stage dispatches (see the stage-paging note above)
+        if self.paged:
+            _park = _park_sharding()
+            _dev = lambda a: jax.device_put(np.asarray(a), _park)  # noqa: E731
+        else:
+            _dev = jnp.asarray
         self.coef_s = _dev(s_pad)
         self.coef_val = _dev(v_pad)
         # leftover records (rank >= K): segment-sum path, two-level when
@@ -746,25 +771,24 @@ class Prover:
         exists on either side of the program boundary."""
         cfg = (self.domain, self.n_vars, self.n_public, self.n_c,
                self.nmax)
-        return _rows_fn(cfg, self.g1_blocked)(witness, hp)
+        return _rows_fn(cfg, self.pin_layouts)(witness, hp)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _split_ab_jit(self, ab):
         return ab[:, 0], ab[:, 1]
 
     def _front_staged(self, witness, tables):
-        if self.host_front_tables:
-            # PROVE-LOCAL device copies of the host-side front tables
-            # (coefficients + NTT twiddles): uploaded here, dead when
+        if self.paged:
+            # PROVE-LOCAL HBM copies of the parked front tables
+            # (coefficients + NTT twiddles): unparked here, dead when
             # this frame returns — i.e., gone before the MSM stage
             # dispatches, so the MSM programs get their HBM back
             tables = dict(tables)
             for k in ("coef_s", "coef_val", "left_s", "left_val",
                       "left_seg", "acc2_seg"):
                 if k in tables:
-                    tables[k] = jnp.asarray(tables[k])
-            tables["ntt"] = {k: jnp.asarray(v)
-                             for k, v in tables["ntt"].items()}
+                    tables[k] = _unpark(tables[k])
+            tables["ntt"] = _unpark(tables["ntt"])
         ab, cvec = self._acc_jit(witness, tables)
         a, b = self._split_ab_jit(ab)
         a2 = self._coset_jit(a, tables["ntt"])
@@ -844,7 +868,9 @@ class Prover:
         with prof, phase("device_pipeline", self.last_phases):
             tables = self.tables()
             with phase("front", self.last_phases):
-                if self.ntt_seq and self.mesh is None:
+                if (self.ntt_seq or self.paged) and self.mesh is None:
+                    # (paged tables only flow through the staged front,
+                    # which unparks them as prove-local buffers)
                     rows = self._front_staged(witness, tables)
                 else:
                     rows = self._front_jit(witness, tables)
@@ -855,22 +881,36 @@ class Prover:
                     # _msm_g1_block): each 2-row G1 block dispatches
                     # alone and its totals are FETCHED before the next
                     # dispatch, so each program's buffers are fully
-                    # retired before the next peak
+                    # retired before the next peak. In paged mode each
+                    # stage's table unparks from pinned_host into its
+                    # pinned entry layout just-in-time and is dropped
+                    # as soon as the stage's result is on the host.
+                    pin = self.pin_layouts
+                    fx = _fmt(_MTM_PTS_X) if pin else None
+                    fy = _fmt(_MTM_PTS_Y) if pin else None
                     parts = []
                     for b in range(2):
+                        blk = tables["pts_g1"][b]
+                        if self.paged:
+                            blk = (_unpark(blk[0], fx), _unpark(blk[1], fy))
                         out = _msm_g1_block(
-                            tables["pts_g1"][b], rows, jnp.int32(b),
+                            blk, rows, jnp.int32(b),
                             c_bits=self.c_bits,
                             window_group=self.window_group,
-                            segment=self.segment)
+                            segment=self.segment, pin=pin)
                         parts.append([np.asarray(leaf) for leaf in out])
+                        del blk, out
                     g1w = [np.concatenate([p0, p1], axis=2)
                            for p0, p1 in zip(*parts)]
+                    g2 = tables["pts_g2"]
+                    if self.paged:
+                        g2 = _unpark(g2, fx)
                     g2w = _msm_g2_stage(
-                        tables["pts_g2"], rows, c_bits=self.c_bits,
+                        g2, rows, c_bits=self.c_bits,
                         window_group=self.window_group,
-                        segment=self.segment)
+                        segment=self.segment, pin=pin)
                     g2w = jax.tree.map(np.asarray, g2w)
+                    del g2
                 else:
                     g1w, g2w = _msm_stage(
                         tables["pts_g1"], tables["pts_g2"], rows,

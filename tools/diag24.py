@@ -53,15 +53,20 @@ def main():
     print(f"front: {time.time()-t0:.0f}s", flush=True)
     del witness
     live("post-front")
-    import jax.numpy as jnp2  # noqa: F401
+    fx = PV._fmt(PV._MTM_PTS_X) if p.pin_layouts else None
+    fy = PV._fmt(PV._MTM_PTS_Y) if p.pin_layouts else None
     for b in range(2):
         t0 = time.time()
         try:
-            out = PV._msm_g1_block(tables["pts_g1"][b], rows,
+            blk = tables["pts_g1"][b]
+            if p.paged:
+                blk = (PV._unpark(blk[0], fx), PV._unpark(blk[1], fy))
+            out = PV._msm_g1_block(blk, rows,
                                    jnp.int32(b), c_bits=p.c_bits,
                                    window_group=p.window_group,
-                                   segment=p.segment)
+                                   segment=p.segment, pin=p.pin_layouts)
             out = [np.asarray(leaf) for leaf in out]
+            del blk
             print(f"g1 block {b} OK: {time.time()-t0:.0f}s", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"g1 block {b} FAILED after {time.time()-t0:.0f}s: "
@@ -71,9 +76,12 @@ def main():
         live(f"post-g1b{b}")
     t0 = time.time()
     try:
-        g2w = PV._msm_g2_stage(tables["pts_g2"], rows, c_bits=p.c_bits,
+        g2 = tables["pts_g2"]
+        if p.paged:
+            g2 = PV._unpark(g2, fx)
+        g2w = PV._msm_g2_stage(g2, rows, c_bits=p.c_bits,
                                window_group=p.window_group,
-                               segment=p.segment)
+                               segment=p.segment, pin=p.pin_layouts)
         g2w = jax.tree.map(np.asarray, g2w)
         print(f"g2 stage OK: {time.time()-t0:.0f}s", flush=True)
     except Exception as e:  # noqa: BLE001
