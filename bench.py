@@ -240,6 +240,42 @@ def _prove_cost_estimate_s(log_n: int) -> float:
     return 60.0 + 1.4e-4 * (1 << log_n)
 
 
+def _child_emit_rung(ln: int, fixdir: str, plat: str):
+    """--rung child mode: ONE fixture rung, one JSON line, exit."""
+    path = os.path.join(fixdir, f"sqchain{1 << ln}")
+    prove_s, phases = bench_prove(path)
+    baseline_s = BASELINE_PROVE_S_2_16 * (1 << ln) / (1 << 16)
+    _emit(f"groth16_prove_latency_2^{ln}", round(prove_s, 3), "s",
+          round(baseline_s / prove_s, 4), platform=plat,
+          prove_latency_s=round(prove_s, 3),
+          phases={k: round(v, 3) for k, v in phases.items()},
+          baseline="stand-in-estimate")
+
+
+def _run_rung_subprocess(ln: int, budget_s: float):
+    """Run one fixture rung in a CHILD process (the disk compile cache
+    keeps it warm): a rung that RESOURCE_EXHAUSTs poisons its backend
+    session — in BENCH_r05's dry run one OOM turned every later
+    metric into a failure. Isolation costs ~20 s of process startup.
+    Returns (parsed line dict | None, error | None)."""
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__), "--rung", str(ln)]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=max(budget_s, 60))
+    except subprocess.TimeoutExpired:
+        return None, f"subprocess timeout ({budget_s:.0f}s)"
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+            if d.get("metric", "").startswith("groth16_prove_latency"):
+                return d, None
+        except ValueError:
+            continue
+    tail = (out.stderr or out.stdout or "").strip().splitlines()
+    return None, (tail[-1][-300:] if tail else f"rc={out.returncode}")
+
+
 def main():
     log_n = int(os.environ.get("RSTPU_BENCH_LOGN", "20"))
     reps = int(os.environ.get("RSTPU_BENCH_REPS", "2"))
@@ -276,6 +312,8 @@ def main():
             order += [asc[-1]]
         backfill = asc[-2:0:-1]
 
+        subproc = os.environ.get("RSTPU_BENCH_SUBPROC", "1") != "0"
+
         def prove_rung(ln, gated):
             nonlocal head, head_ln
             global _HEAD
@@ -283,20 +321,30 @@ def main():
                 _emit(f"groth16_prove_SKIPPED_2^{ln}", None, "s", None,
                       reason=f"budget: {_remaining():.0f}s left")
                 return
-            path = os.path.join(fixdir, f"sqchain{1 << ln}")
-            try:
-                prove_s, phases = bench_prove(path)
-            except Exception as e:  # OOM etc: keep the rest of the run
-                _emit(f"groth16_prove_FAILED_2^{ln}", None, "s", None,
-                      error=str(e)[:300])
-                return
-            baseline_s = BASELINE_PROVE_S_2_16 * (1 << ln) / (1 << 16)
-            line = _emit(
-                f"groth16_prove_latency_2^{ln}", round(prove_s, 3), "s",
-                round(baseline_s / prove_s, 4), platform=plat,
-                prove_latency_s=round(prove_s, 3),
-                phases={k: round(v, 3) for k, v in phases.items()},
-                baseline="stand-in-estimate")
+            if subproc:
+                line, err = _run_rung_subprocess(
+                    ln, _remaining() if gated
+                    else max(_remaining(), _prove_cost_estimate_s(ln)))
+                if line is None:
+                    _emit(f"groth16_prove_FAILED_2^{ln}", None, "s",
+                          None, error=str(err)[:300])
+                    return
+                print(json.dumps(line), flush=True)
+            else:
+                path = os.path.join(fixdir, f"sqchain{1 << ln}")
+                try:
+                    prove_s, phases = bench_prove(path)
+                except Exception as e:  # OOM etc: keep the rest going
+                    _emit(f"groth16_prove_FAILED_2^{ln}", None, "s",
+                          None, error=str(e)[:300])
+                    return
+                baseline_s = BASELINE_PROVE_S_2_16 * (1 << ln) / (1 << 16)
+                line = _emit(
+                    f"groth16_prove_latency_2^{ln}", round(prove_s, 3),
+                    "s", round(baseline_s / prove_s, 4), platform=plat,
+                    prove_latency_s=round(prove_s, 3),
+                    phases={k: round(v, 3) for k, v in phases.items()},
+                    baseline="stand-in-estimate")
             if head is None or ln > head_ln:
                 head, head_ln = line, ln  # largest size that ran
                 _HEAD = head
@@ -368,10 +416,24 @@ def main():
     return head
 
 
+def _child_main():
+    import jax
+    plat = jax.devices()[0].platform
+    fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_fixtures")
+    ln = int(sys.argv[sys.argv.index("--rung") + 1])
+    _child_emit_rung(ln, fixdir, plat)
+
+
 if __name__ == "__main__":
     # the LAST stdout line must ALWAYS be parseable JSON (the driver
     # parses it): re-emit the headline from a finally, and turn any
     # escaped exception into a metric line after its traceback
+    if "--rung" in sys.argv:
+        # child mode: one rung, one JSON line; exceptions print to
+        # stderr and exit nonzero (the parent reports the failure)
+        _child_main()
+        sys.exit(0)
     rc = 0
     try:
         main()
