@@ -237,7 +237,10 @@ def bench_prove(path: str):
 # 632 s, 2^16 ~60 s. Used to decide whether the remaining budget can
 # still fit the NEXT size; an overrun on the current size is sunk.
 def _prove_cost_estimate_s(log_n: int) -> float:
-    return 60.0 + 1.4e-4 * (1 << log_n)
+    # subprocess rungs pay construction (zkey read + repack + upload)
+    # every time: ~2.5e-4 s/constraint measured round 5 (2^24 child
+    # ~850 s warm: ~500 construction + 2 proves)
+    return 60.0 + 2.5e-4 * (1 << log_n)
 
 
 def _child_emit_rung(ln: int, fixdir: str, plat: str):
