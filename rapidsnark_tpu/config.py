@@ -37,9 +37,9 @@ def window_group(n: int = 0) -> int:
     v = _int_env("RSTPU_WINDOW_GROUP")
     if v is not None:
         return v
-    if n >= (1 << 23):
-        return 2
-    return 5
+    return 5  # measured optimum at every size incl. 2^24 (round 5:
+    # G=5 108.4 s vs G=2 122.7 s on the msms phase — stage paging
+    # removed the HBM motive for the old big-domain G=2 rule)
 
 
 def ntt_sequential(power: int) -> bool:
